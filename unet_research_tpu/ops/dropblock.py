@@ -1,0 +1,139 @@
+"""DropBlock mask generation, pure-XLA reference implementations (NHWC).
+
+The reference ships two torch DropBlock variants (utils/utils_modules.py):
+
+- ``DropBlock2D`` ("dependent" in the CLIs, though channels are still masked
+  independently): Bernoulli(gamma) over the valid-center region
+  (H-b+1, W-b+1), zero-padded back to (H, W), expanded to blocks with a
+  stride-1 max-pool, inverted, applied, and rescaled by numel/sum
+  (utils_modules.py:36-82).
+- ``Dropblock2d_ichan``: Bernoulli(gamma) over the full (H, W) grid with the
+  b//2 border rows/cols zeroed, the same stride-1 max-pool block expansion,
+  and a zero-division-guarded 1/mean rescale (utils_modules.py:86-139).
+
+Both use the same paper gamma; the ichan variant clamps it to 1. These
+functions reproduce the exact semantics with jax.random + reduce_window so
+they vmap cleanly over per-sample PRNG keys — that is what turns the
+reference's 1000 serial MC forward passes into one batched device program.
+
+The fused Pallas kernel (in-kernel PRNG + block expansion) lives in
+ops/pallas/dropblock_kernel.py; these are the goldens it is tested against.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def dropblock_gamma_dependent(h: int, w: int, block_size: int, drop_prob) -> jax.Array:
+    """Gamma for the dependent variant (utils_modules.py:81-82). Unclamped."""
+    b = block_size
+    return drop_prob * h * w / ((b * b) * (h - b + 1) * (w - b + 1))
+
+
+def dropblock_gamma_independent(h: int, w: int, block_size: int, drop_prob) -> jax.Array:
+    """Gamma for the independent-channel variant (utils_modules.py:98-102),
+    clamped to 1."""
+    b = block_size
+    gamma = (drop_prob / (b * b)) * (h * w) / ((h - b + 1) * (w - b + 1))
+    return jnp.minimum(gamma, 1.0)
+
+
+def _block_expand_max(mask: jax.Array, block_size: int) -> jax.Array:
+    """Stride-1 max-pool with kernel `block_size`, torch-style b//2 padding.
+
+    Expands isolated seed ones into b x b blocks. For even b the torch code
+    crops the trailing row/col after pooling; we do the same.
+    """
+    b = block_size
+    p = b // 2
+    out = lax.reduce_window(
+        mask,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, b, b, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (p, p), (p, p), (0, 0)),
+    )
+    if b % 2 == 0:
+        out = out[:, : mask.shape[1], : mask.shape[2], :]
+    return out
+
+
+def dropblock_dependent(
+    x: jax.Array, key: jax.Array, drop_prob, block_size: int
+) -> jax.Array:
+    """DropBlock2D-equivalent (reference utils_modules.py:36-82), NHWC.
+
+    Seeds are drawn over the valid-center region only, then zero-padded to
+    full size, so no block ever extends past the canvas asymmetrically.
+    The output is rescaled by numel/sum(block_mask) over the whole input —
+    exactly the reference's data-dependent scaling (which divides by zero and
+    NaNs out if everything is dropped; the model's NaN scrub handles that,
+    as in the reference).
+
+    drop_prob may be a traced scalar: at p=0 the math degrades to identity
+    (all-ones block mask, scale 1), so no dynamic branch is needed under jit.
+    """
+    n, h, w, c = x.shape
+    b = block_size
+    gamma = dropblock_gamma_dependent(h, w, b, drop_prob)
+    seeds = jax.random.bernoulli(
+        key, gamma, shape=(n, h - b + 1, w - b + 1, c)
+    ).astype(x.dtype)
+    p = b // 2
+    mask = jnp.pad(seeds, ((0, 0), (p, p), (p, p), (0, 0)))
+    if b % 2 == 0:
+        mask = mask[:, :h, :w, :]  # ZeroPad2d(b//2) then [:-1, :-1] crop
+    block = _block_expand_max(mask, b)
+    block_mask = 1.0 - block
+    scale = block_mask.size / jnp.sum(block_mask)
+    return x * block_mask * scale
+
+
+def dropblock_independent(
+    x: jax.Array, key: jax.Array, drop_prob, block_size: int
+) -> jax.Array:
+    """Dropblock2d_ichan-equivalent (reference utils_modules.py:107-139), NHWC.
+
+    Bernoulli over the full grid with the b//2 border frame zeroed, stride-1
+    max-pool block expansion, and a guarded 1/mean rescale (identity when
+    everything was dropped). Requires odd block_size — the reference's
+    reshape-based per-channel pooling implicitly does too.
+    """
+    if block_size % 2 == 0:
+        raise ValueError("dropblock_independent requires an odd block_size")
+    n, h, w, c = x.shape
+    b = block_size
+    gamma = dropblock_gamma_independent(h, w, b, drop_prob)
+    seeds = jax.random.bernoulli(key, gamma, shape=x.shape).astype(x.dtype)
+    ex = b // 2
+    if ex > 0:
+        border = jnp.zeros((h, w), dtype=x.dtype)
+        border = border.at[ex : h - ex, ex : w - ex].set(1.0)
+        seeds = seeds * border[None, :, :, None]
+    block = _block_expand_max(seeds, b)
+    keep = 1.0 - block
+    out = x * keep
+    keep_frac = jnp.mean(keep)
+    scale = jnp.where(keep_frac != 0, 1.0 / keep_frac, 1.0)
+    return out * scale
+
+
+def linear_drop_prob(step, start: float, stop: float, nr_steps: int):
+    """Drop-prob of the dropblock package's LinearScheduler at global `step`.
+
+    The scheduler holds np.linspace(start, stop, nr_steps) and is stepped once
+    per training forward (reference utils_unet.py:410-411, set_dropblock
+    utils_unet.py:129-132), staying at `stop` afterwards:
+    p(i) = start + (stop-start) * min(i, n-1)/(n-1).
+
+    `step` may be a traced int32, so the schedule threads through jit as a
+    scalar instead of module state.
+    """
+    if nr_steps <= 1:
+        return jnp.asarray(stop, dtype=jnp.float32)
+    i = jnp.minimum(jnp.asarray(step, dtype=jnp.float32), nr_steps - 1)
+    return start + (stop - start) * i / (nr_steps - 1)
