@@ -1,0 +1,376 @@
+"""Configurable U-Net in Flax, NHWC, TPU-first.
+
+Capability-parity rebuild of the reference's stateful torch builder
+(reference unet_code/utils/utils_unet.py:11-463) as a functional Flax module:
+
+- encoder blocks: first conv init_channels->filters, later blocks double
+  filters; every conv is followed by norm -> dropblock -> activation
+  (utils_unet.py:210-291);
+- pooling: 'max' / 'avg' / stride-2 'conv' + norm (+ activation for conv
+  pooling only) (utils_unet.py:263-286);
+- bottleneck: one filter-doubling conv + extras (utils_unet.py:162-207);
+- decoder: 'upconv' (2x2 stride-2 transpose conv) or 'upsample' (nearest x2 +
+  3x3 conv), each halving filters, + norm + activation
+  (utils_unet.py:294-322); skip merge 'cat'/'add'/'none' with center-crop for
+  the valid-padding case and dropblock after the merge
+  (utils_unet.py:376-390); post-skip conv stack (utils_unet.py:326-369);
+- 1x1 conv + sigmoid head (bias disabled when a norm is set, like every
+  other conv) (utils_unet.py:393-406, 144);
+- autopad input to a multiple of 2**model_depth, crop back after the head,
+  clamp to [0,1] and scrub NaNs (utils_unet.py:408-463).
+
+Differences by design (TPU-native, not a port):
+- NHWC layout, bf16-capable compute dtype with fp32 params;
+- DropBlock drop-prob is threaded as a traced scalar argument instead of
+  scheduler module state, so the linear ramp costs no recompilation;
+- rematerialization via jax.checkpoint policies instead of fairscale
+  checkpoint_wrapper (only applied when `remat=True`, and intended for the
+  training step; inference should run with remat=False);
+- per-call-site PRNG keys via linen's rng folding reproduce the reference's
+  independent mask draws from a single shared module instance
+  (utils_unet.py:129-134 — one instance, fresh torch RNG draw per call).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unet_research_tpu.ops.dropblock import (
+    dropblock_dependent,
+    dropblock_independent,
+)
+from unet_research_tpu.ops.image import center_crop, crop_to, pad_to_multiple
+
+
+@dataclasses.dataclass(frozen=True)
+class DropBlockConfig:
+    """DropBlock plug-in (reference UNet.set_dropblock, utils_unet.py:117-134).
+
+    kind: 'dependent' (DropBlock2D) | 'independent' (Dropblock2d_ichan) | None.
+    The linear schedule fields mirror LinearScheduler(start, stop, nr_steps).
+    """
+
+    kind: Optional[str] = "dependent"
+    block_size: int = 7
+    drop_prob: float = 0.1
+    use_scheduler: bool = True
+    start_drop_prob: float = 0.0
+    max_drop_prob: float = 0.2
+    nr_steps: int = 500
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Constructor-arg parity with reference UNet (utils_unet.py:14-26) plus
+    TPU knobs (dtype, remat)."""
+
+    init_channels: int = 3
+    filters: int = 64
+    output_channels: int = 1
+    model_depth: int = 4
+    pool_mode: str = "max"  # 'max' | 'avg' | 'conv'
+    up_mode: str = "upconv"  # 'upconv' | 'upsample'
+    connection: str = "cat"  # 'cat' | 'add' | 'none'
+    same_padding: bool = True
+    conv_layers_per_block: int = 2
+    norm: Optional[str] = "group"  # 'group' | None
+    group_norm_groups: int = 32
+    activation: str = "relu"  # 'relu' | 'leaky_relu'
+    negative_slope: float = 0.01
+    dropblock: DropBlockConfig = dataclasses.field(default_factory=DropBlockConfig)
+    remat: bool = False
+    dtype: Any = jnp.float32  # compute dtype (bf16 on TPU hot paths)
+
+    def __post_init__(self):
+        if self.connection not in ("add", "cat", "none"):
+            raise ValueError("Connection type must be of (add, cat, none)")
+        if self.pool_mode not in ("max", "avg", "conv"):
+            raise ValueError("Pool Mode must be of (max, avg, conv).")
+        if self.up_mode not in ("upsample", "upconv"):
+            raise ValueError("Up_Mode must be of (upsample, upconv).")
+        if self.conv_layers_per_block <= 1:
+            raise ValueError("Convolutional Layers in each block must be 2 or more.")
+        if self.dropblock.kind not in (None, "dependent", "independent"):
+            raise ValueError("dropblock.kind must be dependent/independent/None")
+
+
+def canonical_config(**overrides) -> UNetConfig:
+    """The configuration every reference entry point uses
+    (base_model_tests/training.py:171-192 and all MF/LF/uncertainty CLIs):
+    the classic 31M-parameter U-Net with GroupNorm(32) and ReLU."""
+    base = dict(
+        init_channels=1,
+        filters=64,
+        output_channels=1,
+        model_depth=4,
+        pool_mode="max",
+        up_mode="upconv",
+        connection="cat",
+        same_padding=True,
+        conv_layers_per_block=2,
+        norm="group",
+        group_norm_groups=32,
+        activation="relu",
+    )
+    base.update(overrides)
+    return UNetConfig(**base)
+
+
+# --- torch-parity initializers -------------------------------------------------
+# torch Conv2d resets weights with kaiming_uniform(a=sqrt(5)) wrt
+# fan_in = in_ch * kh * kw  =>  U(-sqrt(1/fan_in), sqrt(1/fan_in)), which is
+# variance_scaling(scale=1/3, 'fan_in', 'uniform'). Matching the init keeps
+# the training trajectory (and PL-style LR finding) comparable.
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    bound = float(fan_in) ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def transpose_kernel_init(out_ch: int, kh: int, kw: int):
+    """torch ConvTranspose2d fan_in is out_ch*kh*kw (weight[in, out, kh, kw],
+    fan computed on dim 1)."""
+    bound = (out_ch * kh * kw) ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class _Layers(nn.Module):
+    """Shared helpers: norm / activation / dropblock application."""
+
+    cfg: UNetConfig
+
+    def _act(self, x):
+        if self.cfg.activation == "relu":
+            return nn.relu(x)
+        if self.cfg.activation == "leaky_relu":
+            return nn.leaky_relu(x, negative_slope=self.cfg.negative_slope)
+        raise ValueError(f"unknown activation {self.cfg.activation}")
+
+    def _norm(self, x, name: str):
+        if self.cfg.norm is None:
+            return x
+        if self.cfg.norm == "group":
+            return nn.GroupNorm(
+                num_groups=self.cfg.group_norm_groups,
+                epsilon=1e-5,
+                dtype=self.cfg.dtype,
+                name=name,
+            )(x)
+        raise ValueError(f"unknown norm {self.cfg.norm}")
+
+    def _dropblock(self, x, drop_prob):
+        """Apply dropblock when a drop_prob is threaded in (drop_prob=None is
+        the static 'module in eval mode / no dropblock configured' path)."""
+        db = self.cfg.dropblock
+        if db.kind is None or drop_prob is None:
+            return x
+        key = self.make_rng("dropblock")
+        fn = dropblock_dependent if db.kind == "dependent" else dropblock_independent
+        return fn(x, key, drop_prob, db.block_size)
+
+    def _conv(self, x, features: int, name: str):
+        cfg = self.cfg
+        fan_in = x.shape[-1] * 9
+        return nn.Conv(
+            features=features,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding="SAME" if cfg.same_padding else "VALID",
+            use_bias=cfg.norm is None,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=cfg.dtype,
+            name=name,
+        )(x)
+
+
+class ConvBlock(_Layers):
+    """`conv_layers_per_block` convs, each conv -> norm -> dropblock -> act.
+
+    `features` lists the output channels of each conv (the first may differ,
+    reference utils_unet.py:215-230,243-258).
+    """
+
+    features: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, x, drop_prob=None):
+        for i, feats in enumerate(self.features):
+            x = self._conv(x, feats, name=f"conv{i}")
+            x = self._norm(x, name=f"norm{i}")
+            x = self._dropblock(x, drop_prob)
+            x = self._act(x)
+        return x
+
+
+class PoolBlock(_Layers):
+    """Downsampling step + norm (+ act for conv pooling)
+    (reference utils_unet.py:261-291)."""
+
+    features: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        if cfg.pool_mode == "max":
+            x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+        elif cfg.pool_mode == "avg":
+            x = nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))
+        else:  # conv
+            fan_in = x.shape[-1] * 4
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=(2, 2),
+                strides=(2, 2),
+                padding="VALID",
+                use_bias=cfg.norm is None,
+                kernel_init=torch_kernel_init,
+                bias_init=torch_bias_init(fan_in),
+                dtype=cfg.dtype,
+                name="pool_conv",
+            )(x)
+        x = self._norm(x, name="pool_norm")
+        if cfg.pool_mode == "conv":
+            x = self._act(x)
+        return x
+
+
+class UpBlock(_Layers):
+    """Upsampling step halving filters + norm + act
+    (reference utils_unet.py:296-322)."""
+
+    features: int = 0  # output channels (= filters // 2 of the level below)
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        if cfg.up_mode == "upconv":
+            x = nn.ConvTranspose(
+                features=self.features,
+                kernel_size=(2, 2),
+                strides=(2, 2),
+                padding="VALID",
+                use_bias=cfg.norm is None,
+                kernel_init=transpose_kernel_init(self.features, 2, 2),
+                bias_init=torch_bias_init(self.features * 4),
+                dtype=cfg.dtype,
+                name="up_conv",
+            )(x)
+        else:  # 'upsample': torch nn.Upsample default is nearest
+            n, h, w, c = x.shape
+            x = jax.image.resize(x, (n, 2 * h, 2 * w, c), method="nearest")
+            x = self._conv(x, self.features, name="up_conv")
+        x = self._norm(x, name="up_norm")
+        return self._act(x)
+
+
+class SkipMerge(_Layers):
+    """'cat'/'add'/'none' skip merge with center-crop and post-merge dropblock
+    (reference utils_unet.py:376-390)."""
+
+    @nn.compact
+    def __call__(self, x, skip, drop_prob=None):
+        conn = self.cfg.connection
+        if conn == "none":
+            return x
+        skip = center_crop(skip, (x.shape[-3], x.shape[-2]))
+        if conn == "cat":
+            x = jnp.concatenate([x, skip], axis=-1)
+        else:  # add
+            x = x + skip
+        return self._dropblock(x, drop_prob)
+
+
+class UNet(nn.Module):
+    """The full encoder/decoder (reference UNet.forward, utils_unet.py:408-449).
+
+    Call: ``model.apply(vars, x, drop_prob=p, rngs={'dropblock': key})``.
+    - x: NHWC float batch.
+    - drop_prob: None => dropblock entirely off (eval); a float or traced
+      scalar => dropblock active at that probability (training, or MC
+      uncertainty forcing dropblock on in eval —
+      reference Dropblock_Uncertainty.py:22-25).
+    """
+
+    cfg: UNetConfig
+
+    def _maybe_remat(self, cls):
+        if self.cfg.remat:
+            return nn.remat(cls, prevent_cse=False)
+        return cls
+
+    @nn.compact
+    def __call__(self, x, drop_prob=None):
+        cfg = self.cfg
+        x = x.astype(cfg.dtype)
+        x, orig_hw = pad_to_multiple(x, 2**cfg.model_depth)
+
+        conv_block = self._maybe_remat(ConvBlock)
+        pool_block = self._maybe_remat(PoolBlock)
+        up_block = self._maybe_remat(UpBlock)
+
+        filters = cfg.filters
+        skips = []
+        # encoder
+        for d in range(cfg.model_depth):
+            if d == 0:
+                feats = [filters] * cfg.conv_layers_per_block
+            else:
+                filters *= 2
+                feats = [filters] * cfg.conv_layers_per_block
+            x = conv_block(cfg, tuple(feats), name=f"down{d}")(x, drop_prob)
+            skips.append(x)
+            x = pool_block(cfg, filters, name=f"pool{d}")(x)
+
+        # bottleneck ("connection block", utils_unet.py:162-207)
+        filters *= 2
+        x = conv_block(cfg, (filters,) * cfg.conv_layers_per_block, name="conn")(
+            x, drop_prob
+        )
+
+        # decoder
+        for d in range(cfg.model_depth):
+            filters //= 2
+            x = up_block(cfg, filters, name=f"up{d}")(x)
+            x = SkipMerge(cfg, name=f"skip{d}")(x, skips[-1 - d], drop_prob)
+            x = conv_block(cfg, (filters,) * cfg.conv_layers_per_block, name=f"post{d}")(
+                x, drop_prob
+            )
+
+        # 1x1 head + sigmoid (bias follows the global norm rule,
+        # utils_unet.py:393-406)
+        x = nn.Conv(
+            features=cfg.output_channels,
+            kernel_size=(1, 1),
+            use_bias=cfg.norm is None,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(x.shape[-1]),
+            dtype=cfg.dtype,
+            name="head",
+        )(x)
+        x = jax.nn.sigmoid(x.astype(jnp.float32))
+
+        x = crop_to(x, orig_hw)
+        # clamp + NaN scrub (utils_unet.py:443-444)
+        x = jnp.clip(x, 0.0, 1.0)
+        return jnp.nan_to_num(x, nan=0.0)
+
+
+def param_count(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

@@ -89,8 +89,10 @@ def dropblock_dependent(
         mask = mask[:, :h, :w, :]  # ZeroPad2d(b//2) then [:-1, :-1] crop
     block = _block_expand_max(mask, b)
     block_mask = 1.0 - block
-    scale = block_mask.size / jnp.sum(block_mask)
-    return x * block_mask * scale
+    # data-dependent rescale accumulated in f32 (bf16 sums of ~1e6 elements
+    # would corrupt the scale)
+    scale = block_mask.size / jnp.sum(block_mask.astype(jnp.float32))
+    return x * block_mask * scale.astype(x.dtype)
 
 
 def dropblock_independent(
@@ -117,9 +119,9 @@ def dropblock_independent(
     block = _block_expand_max(seeds, b)
     keep = 1.0 - block
     out = x * keep
-    keep_frac = jnp.mean(keep)
+    keep_frac = jnp.mean(keep.astype(jnp.float32))
     scale = jnp.where(keep_frac != 0, 1.0 / keep_frac, 1.0)
-    return out * scale
+    return out * scale.astype(x.dtype)
 
 
 def linear_drop_prob(step, start: float, stop: float, nr_steps: int):
