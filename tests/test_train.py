@@ -1,0 +1,215 @@
+"""Training-engine tests: schedule parity vs torch, checkpoints, policies,
+and a tiny end-to-end fit."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from unet_research_tpu.data.dataset import ArrayDataset
+from unet_research_tpu.models import DropBlockConfig, UNet, UNetConfig, canonical_config
+from unet_research_tpu.train import (
+    EarlyStopping,
+    POLICIES,
+    ReduceLROnPlateau,
+    Trainer,
+    TrainerConfig,
+    make_size_plan,
+)
+from unet_research_tpu.train.checkpoint import (
+    BestCheckpointKeeper,
+    find_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from unet_research_tpu.train.policies import lf_policy
+
+
+def test_plateau_matches_torch(rng):
+    metrics = rng.random(40) * 0.5 + 0.1
+    ours = ReduceLROnPlateau(0.05)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.05)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.1, patience=3, threshold=0.001,
+        threshold_mode="rel", cooldown=0, min_lr=0, eps=1e-8,
+    )
+    for m in metrics:
+        lr = ours.step(float(m))
+        ref.step(float(m))
+        assert lr == pytest.approx(opt.param_groups[0]["lr"], rel=1e-9)
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=3)
+    seq = [1.0, 0.9, 0.8, 0.85, 0.81, 0.84]  # 3 non-improving after 0.8
+    stops = [es.step(v) for v in seq]
+    assert stops == [False, False, False, False, False, True]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"a": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint(path, params, {"epoch": 3, "val_loss": 0.5})
+    template = {"a": {"kernel": np.zeros((2, 3), np.float32)}}
+    restored, meta, _ = load_checkpoint(path, template)
+    np.testing.assert_array_equal(restored["a"]["kernel"], params["a"]["kernel"])
+    assert meta["epoch"] == 3
+
+
+def test_best_keeper_reference_naming(tmp_path):
+    keeper = BestCheckpointKeeper(str(tmp_path))
+    params = {"w": np.ones(3, np.float32)}
+    assert keeper.update(0, 0.5, params) is not None
+    assert keeper.update(1, 0.6, params) is None  # no improvement -> no save
+    p2 = keeper.update(2, 0.41, params)
+    assert os.path.basename(p2) == "model-epoch=02-val_loss=0.41.ckpt"
+    assert os.listdir(tmp_path) == ["model-epoch=02-val_loss=0.41.ckpt"]
+    assert find_checkpoint(str(tmp_path)) == p2
+
+
+def _fake_batch(h=40, w=32):
+    rng = np.random.default_rng(0)
+    im = rng.random((1, h, w, 1), dtype=np.float32)
+    gt = (rng.random((1, h, w, 1)) > 0.5).astype(np.float32)
+    mask = np.ones((1, h, w, 1), np.float32)
+    return jnp.asarray(im), jnp.asarray(gt), jnp.asarray(mask)
+
+
+def _fake_forward(x):
+    # a stand-in "model": sigmoid of a local average, same spatial size
+    return jax.nn.sigmoid(x - 0.5)
+
+
+@pytest.mark.parametrize("kind,size", [("none", -1), ("uni", 128), ("uni", -1), ("rat", 128), ("rsz-rat", 128)])
+def test_policy_shapes_mf(kind, size):
+    im, gt, mask = _fake_batch()
+    pol = POLICIES[kind]
+    seg, gt2, mask2 = pol.train_io(_fake_forward, im, gt, mask, size)
+    if kind == "none":
+        assert seg.shape == im.shape
+    else:
+        # square-padded to 40x40, loss always back at full square size
+        assert seg.shape == (1, 40, 40, 1)
+        assert gt2.shape == (1, 40, 40, 1)
+        assert mask2.shape == (1, 40, 40, 1)
+
+
+def test_policy_uni_keeps_mask_unresized():
+    # the UNI quirk: mask is never resized, so inside jit the mask used for
+    # the loss is the exact square-padded original
+    im, gt, mask = _fake_batch()
+    captured = {}
+
+    def fwd(x):
+        captured["in_shape"] = x.shape
+        return x
+
+    seg, gt2, mask2 = POLICIES["uni"].train_io(fwd, im, gt, mask, 16)
+    assert captured["in_shape"] == (1, 16, 16, 1)
+    # mask comes back exactly square_pad(mask): binary, untouched by resize
+    assert set(np.unique(np.asarray(mask2))) <= {0.0, 1.0}
+
+
+def test_policy_shapes_lf():
+    im, gt, mask = _fake_batch()
+    for kind, train_shape, loss_hw in [("lft", 16, 16), ("hft", 16, 40), ("lft-up", 40, 40)]:
+        pol = lf_policy(kind, 16)
+        shapes = {}
+
+        def fwd(x):
+            shapes["in"] = x.shape
+            return x
+
+        seg, gt2, mask2 = pol.train_io(fwd, im, gt, mask)
+        assert shapes["in"][1] == train_shape
+        assert seg.shape[1] == loss_hw and gt2.shape[1] == loss_hw
+
+    # HFT predicts at native res; LFT predicts at train_size
+    seg, *_ = lf_policy("hft", 16).predict_io(_fake_forward, im, gt, mask)
+    assert seg.shape == im.shape
+    seg, *_ = lf_policy("lft", 16).predict_io(_fake_forward, im, gt, mask)
+    assert seg.shape == (1, 16, 16, 1)
+
+
+def test_size_plan_counts():
+    rng = np.random.default_rng(0)
+    plan = make_size_plan("uni", 14, 36, rng)
+    assert len(plan) == 14 * 36
+    # ceil(14/3)=5 of each resized size, 4 originals
+    vals, counts = np.unique(plan, return_counts=True)
+    d = dict(zip(vals.tolist(), (counts // 36).tolist()))
+    assert d == {-1: 4, 128: 5, 256: 5}
+    plan = make_size_plan("rat", 14, 1, rng)
+    vals, counts = np.unique(plan, return_counts=True)
+    d = dict(zip(vals.tolist(), counts.tolist()))
+    assert d == {-1: 2, 128: 8, 256: 4}
+    # plan repeats each original image's size num_aug times consecutively
+    plan = make_size_plan("uni", 3, 4, rng)
+    assert all(len(set(plan[i * 4 : (i + 1) * 4])) == 1 for i in range(3))
+
+
+def _tiny_model(dropblock_kind="dependent"):
+    cfg = canonical_config(filters=8)
+    cfg = UNetConfig(
+        **{
+            **cfg.__dict__,
+            "group_norm_groups": 4,
+            "model_depth": 2,
+            "dropblock": DropBlockConfig(
+                kind=dropblock_kind, block_size=3, use_scheduler=True,
+                start_drop_prob=0.0, max_drop_prob=0.1, nr_steps=10,
+            ),
+            "remat": True,
+        }
+    )
+    return UNet(cfg)
+
+
+def _tiny_dataset(n=6, h=32, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    ims = (rng.random((n, h, w, 1)) * 255).astype(np.uint8)
+    gts = (rng.random((n, h, w, 1)) > 0.5).astype(np.uint8) * 255
+    masks = np.full((n, h, w, 1), 255, np.uint8)
+    return ArrayDataset(ims, gts, masks)
+
+
+def test_fit_end_to_end(tmp_path):
+    model = _tiny_model()
+    tcfg = TrainerConfig(
+        max_epochs=3, lr=0.01, auto_lr_find=False, seed=7, verbose=False
+    )
+    trainer = Trainer(model, POLICIES["none"], tcfg)
+    state, history, keeper = trainer.fit(
+        _tiny_dataset(), _tiny_dataset(3, seed=1), str(tmp_path / "model_info")
+    )
+    assert len(history["train_loss_epoch"]) == 3
+    assert len(history["val_loss_epoch"]) == 3
+    assert all(np.isfinite(v) for v in history["train_loss_epoch"])
+    assert keeper.best_path and os.path.exists(keeper.best_path)
+    assert int(state.step) == 3 * 6
+
+    # loss should be sane for BCE-on-random data, and predict must work
+    preds = list(trainer.predict(state.params, _tiny_dataset(2, seed=2)))
+    assert len(preds) == 2
+    idx, seg, im, gt, mask = preds[0]
+    assert seg.shape == (1, 32, 32, 1)
+    assert np.isfinite(seg).all()
+
+
+def test_fit_resumes_from_checkpoint(tmp_path):
+    model = _tiny_model(dropblock_kind=None)
+    tcfg = TrainerConfig(max_epochs=1, lr=0.01, auto_lr_find=False, seed=3, verbose=False)
+    trainer = Trainer(model, POLICIES["none"], tcfg)
+    state, _, keeper = trainer.fit(
+        _tiny_dataset(), _tiny_dataset(2, seed=1), str(tmp_path / "mi")
+    )
+    template = trainer.init_params(seed=0)
+    params, meta, _ = load_checkpoint(keeper.best_path, template)
+    # restored params produce identical validation loss
+    v1 = trainer.validate(state.params, _tiny_dataset(2, seed=1))
+    v2 = trainer.validate(params, _tiny_dataset(2, seed=1))
+    assert v1 == pytest.approx(v2, rel=1e-6)

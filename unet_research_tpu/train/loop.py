@@ -1,0 +1,265 @@
+"""The training engine: jitted steps + host-side epoch control.
+
+Replaces the reference's PyTorch-Lightning assembly (Trainer + callbacks +
+LightningModule overrides, base_model_tests/training.py:198-231) with a
+functional JAX loop:
+
+- one jitted train step (forward via the active resize policy, masked
+  rescaled BCE, SGD+momentum update) — the LR, dropblock step and PRNG fold
+  all thread through as traced scalars so plateau decay / the linear
+  dropblock ramp never recompile;
+- host-side per-epoch control: ReduceLROnPlateau, EarlyStopping,
+  best-checkpoint keeping, the PL-parity logged-metrics dict (including the
+  reference's `if batch_idx % 10:` train-loss logging gate,
+  utils_training.py:36);
+- an LR finder reproducing PL's trainer.tune(auto_lr_find=True) exponential
+  sweep + steepest-gradient suggestion (training.py:217-220).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_research_tpu.models.unet import UNet
+from unet_research_tpu.ops.dropblock import linear_drop_prob
+from unet_research_tpu.ops.losses import masked_rescaled_bce
+from unet_research_tpu.train.checkpoint import BestCheckpointKeeper
+from unet_research_tpu.train.policies import ResizePolicy
+from unet_research_tpu.train.schedule import EarlyStopping, ReduceLROnPlateau
+from unet_research_tpu.train.state import TrainState, create_train_state, get_lr
+from unet_research_tpu.data.dataset import ArrayDataset
+from unet_research_tpu.data.loading import batch_iterator
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_epochs: int = 50
+    lr: float = 1e-3
+    momentum: float = 0.99
+    clip_norm: Optional[float] = None  # --gradient_clip_val
+    auto_lr_find: bool = True
+    early_stop_patience: int = 10
+    check_val_every_n_epoch: int = 1
+    train_batch: int = 1
+    val_batch: int = 1
+    seed: int = -1
+    log_gate: int = 10  # reference logs train loss when batch_idx % 10 != 0
+    verbose: bool = True
+
+
+class Trainer:
+    """Drives one model + one resize policy end to end."""
+
+    def __init__(self, model: UNet, policy: ResizePolicy, cfg: TrainerConfig):
+        self.model = model
+        self.policy = policy
+        self.cfg = cfg
+        db = model.cfg.dropblock
+        self._has_dropblock = db.kind is not None
+
+        def forward_train(params, im, drop_prob, key):
+            return model.apply(
+                {"params": params}, im, drop_prob=drop_prob, rngs={"dropblock": key}
+            )
+
+        def forward_eval(params, im):
+            return model.apply({"params": params}, im)
+
+        def train_step(state: TrainState, im, gt, mask, lr, base_key, size: int):
+            if self._has_dropblock:
+                if db.use_scheduler:
+                    dp = linear_drop_prob(
+                        state.step, db.start_drop_prob, db.max_drop_prob, db.nr_steps
+                    )
+                else:
+                    dp = jnp.asarray(db.drop_prob, jnp.float32)
+                key = jax.random.fold_in(base_key, state.step)
+
+            def loss_fn(params):
+                if self._has_dropblock:
+                    fwd = lambda x: forward_train(params, x, dp, key)
+                else:
+                    fwd = lambda x: forward_eval(params, x)
+                seg, gt2, mask2 = self.policy.train_io(fwd, im, gt, mask, size)
+                return masked_rescaled_bce(seg, gt2, mask2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            new_state = state.apply_gradients(grads, lr)
+            return new_state, loss
+
+        def eval_step(params, im, gt, mask):
+            seg, gt2, mask2 = self.policy.val_io(lambda x: forward_eval(params, x), im, gt, mask)
+            return masked_rescaled_bce(seg, gt2, mask2)
+
+        def predict_step(params, im, gt, mask):
+            return self.policy.predict_io(lambda x: forward_eval(params, x), im, gt, mask)
+
+        self._train_step = jax.jit(train_step, static_argnames=("size",))
+        self._eval_step = jax.jit(eval_step)
+        self._predict_step = jax.jit(predict_step)
+
+    # ------------------------------------------------------------------
+    def init_params(self, init_channels: Optional[int] = None, seed: int = 0):
+        c = init_channels or self.model.cfg.init_channels
+        dummy = jnp.zeros((1, 32, 32, c), jnp.float32)
+        variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        return variables["params"]
+
+    def create_state(self, params, lr: Optional[float] = None) -> TrainState:
+        return create_train_state(
+            params, lr or self.cfg.lr, self.cfg.momentum, self.cfg.clip_norm
+        )
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_ds: ArrayDataset,
+        val_ds: ArrayDataset,
+        model_info_dir: str,
+        size_plan: Optional[np.ndarray] = None,
+        params=None,
+        ckpt_meta: Optional[dict] = None,
+    ):
+        """Train with early stopping + plateau LR + best-ckpt keeping.
+
+        Returns (final_state, history, keeper). `history` mirrors PL's
+        logged-metrics: per-epoch lists 'train_loss_epoch' /
+        'val_loss_epoch' / 'lr'.
+        """
+        cfg = self.cfg
+        seed = cfg.seed if cfg.seed != -1 else int(time.time()) % (2**31)
+        np_rng = np.random.default_rng(seed)
+        base_key = jax.random.PRNGKey(seed)
+
+        if params is None:
+            params = self.init_params(seed=seed)
+
+        lr = cfg.lr
+        if cfg.auto_lr_find:
+            lr = lr_find(self, params, train_ds, size_plan, base_key, seed)
+            if cfg.verbose:
+                print(f"LR finder suggestion: {lr:.3e}")
+
+        state = self.create_state(params, lr)
+        plateau = ReduceLROnPlateau(lr)
+        early = EarlyStopping(patience=cfg.early_stop_patience)
+        keeper = BestCheckpointKeeper(model_info_dir)
+        history = {"train_loss_epoch": [], "val_loss_epoch": [], "lr": []}
+
+        shuffle = not self.policy.uses_size_plan  # MF plans index by batch_idx
+        for epoch in range(cfg.max_epochs):
+            t0 = time.time()
+            step_losses = []
+            for batch_idx, (im, gt, mask) in enumerate(
+                batch_iterator(train_ds, cfg.train_batch, shuffle, np_rng)
+            ):
+                size = int(size_plan[batch_idx]) if size_plan is not None else -1
+                state, loss = self._train_step(state, im, gt, mask, lr, base_key, size)
+                if batch_idx % cfg.log_gate:  # reference gate quirk
+                    step_losses.append(loss)
+
+            train_loss = float(np.mean(jax.device_get(step_losses))) if step_losses else float("nan")
+            history["train_loss_epoch"].append(train_loss)
+            history["lr"].append(lr)
+
+            if (epoch + 1) % cfg.check_val_every_n_epoch == 0:
+                val_losses = [
+                    self._eval_step(state.params, im, gt, mask)
+                    for im, gt, mask in batch_iterator(val_ds, cfg.val_batch, False)
+                ]
+                val_loss = float(np.mean(jax.device_get(val_losses)))
+                history["val_loss_epoch"].append(val_loss)
+
+                keeper.update(
+                    epoch, val_loss, state.params,
+                    meta={**(ckpt_meta or {}), "lr": lr, "step": int(state.step)},
+                )
+                lr = plateau.step(val_loss)
+                stop = early.step(val_loss)
+                if cfg.verbose:
+                    print(
+                        f"epoch {epoch:3d} train_loss {train_loss:.4f} "
+                        f"val_loss {val_loss:.4f} lr {lr:.2e} "
+                        f"({time.time()-t0:.1f}s)"
+                    )
+                if stop:
+                    if cfg.verbose:
+                        print(f"early stopping at epoch {epoch}")
+                    break
+        return state, history, keeper
+
+    # ------------------------------------------------------------------
+    def validate(self, params, val_ds: ArrayDataset) -> float:
+        losses = [
+            self._eval_step(params, im, gt, mask)
+            for im, gt, mask in batch_iterator(val_ds, 1, False)
+        ]
+        return float(np.mean(jax.device_get(losses)))
+
+    def predict(self, params, ds: ArrayDataset):
+        """Batch-1 predictions like trainer.predict over a re-wrapped loader
+        (utils_metrics.py:52-56,87-90). Yields (idx, seg, im, gt, mask) as
+        numpy NHWC."""
+        for i, (im, gt, mask) in enumerate(batch_iterator(ds, 1, False)):
+            seg, im2, gt2, mask2 = self._predict_step(params, im, gt, mask)
+            yield i, *jax.device_get((seg, im2, gt2, mask2))
+
+
+def lr_find(
+    trainer: Trainer,
+    params,
+    train_ds: ArrayDataset,
+    size_plan: Optional[np.ndarray],
+    base_key,
+    seed: int,
+    num_training: int = 100,
+    min_lr: float = 1e-8,
+    max_lr: float = 1.0,
+    beta: float = 0.98,
+) -> float:
+    """PL 1.5 lr_find: exponential LR sweep over `num_training` steps,
+    EWMA-smoothed losses, divergence stop at 4x best, steepest-negative-
+    gradient suggestion skipping the first 10 and last point. The probe
+    state is discarded (PL restores the initial weights)."""
+    lrs = min_lr * (max_lr / min_lr) ** (np.arange(num_training) / (num_training - 1))
+    state = trainer.create_state(params, float(lrs[0]))
+    np_rng = np.random.default_rng(seed)
+    losses = []
+    avg, best = 0.0, float("inf")
+    i = 0
+    shuffle = not trainer.policy.uses_size_plan
+    while i < num_training:
+        for batch_idx, (im, gt, mask) in enumerate(
+            batch_iterator(train_ds, trainer.cfg.train_batch, shuffle, np_rng)
+        ):
+            if i >= num_training:
+                break
+            size = int(size_plan[batch_idx]) if size_plan is not None else -1
+            state, loss = trainer._train_step(
+                state, im, gt, mask, float(lrs[i]), base_key, size
+            )
+            loss = float(loss)
+            if not np.isfinite(loss):
+                i = num_training
+                break
+            avg = beta * avg + (1 - beta) * loss
+            smoothed = avg / (1 - beta ** (len(losses) + 1))
+            if losses and smoothed > 4 * best:
+                i = num_training
+                break
+            best = min(best, smoothed)
+            losses.append(smoothed)
+            i += 1
+
+    skip_begin, skip_end = 10, 1
+    if len(losses) < skip_begin + skip_end + 2:
+        return float(trainer.cfg.lr)
+    seg_losses = np.array(losses[skip_begin:-skip_end])
+    idx = int(np.gradient(seg_losses).argmin()) + skip_begin
+    return float(lrs[idx])
