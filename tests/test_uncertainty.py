@@ -1,0 +1,111 @@
+"""Uncertainty-engine tests: streaming stats parity vs direct torch-style
+reduction, MC/rotational engine behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_research_tpu.models import DropBlockConfig, UNet, UNetConfig, canonical_config
+from unet_research_tpu.uncertainty import (
+    MCDropBlockEngine,
+    RotationalEngine,
+    streaming_ensemble,
+)
+
+
+@pytest.mark.parametrize("n,chunk,return_num", [(10, 3, 0), (10, 3, 4), (12, 4, 12), (7, 16, 2), (100, 8, 5)])
+def test_streaming_matches_direct(rng, n, chunk, return_num):
+    data = rng.random((n, 6, 5), dtype=np.float32)
+    xs = jnp.arange(n)
+    sample = lambda i: jnp.asarray(data)[i]
+    mean, std, saved = streaming_ensemble(sample, xs, chunk, return_num)
+    np.testing.assert_allclose(np.asarray(mean), data.mean(0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(std), data.std(0, ddof=1), rtol=1e-4, atol=1e-6)
+    assert saved.shape[0] == return_num
+    if return_num:
+        np.testing.assert_allclose(np.asarray(saved), data[:return_num], rtol=1e-6)
+
+
+def _small_model(dropblock_kind="dependent"):
+    cfg = canonical_config(filters=8)
+    cfg = UNetConfig(
+        **{
+            **cfg.__dict__,
+            "group_norm_groups": 4,
+            "model_depth": 2,
+            "dropblock": DropBlockConfig(kind=dropblock_kind, block_size=3, use_scheduler=False, drop_prob=0.15),
+        }
+    )
+    model = UNet(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    return model, params
+
+
+def test_mc_dropblock_engine():
+    model, params = _small_model()
+    engine = MCDropBlockEngine(model, num_iterations=20, return_num=4, chunk=6)
+    im = jnp.ones((1, 33, 29, 1)) * 0.4
+    gt = jnp.zeros_like(im)
+    mask = jnp.ones_like(im)
+    mean, std, saved, im2, gt2, mask2 = engine.predict(
+        params, im, gt, mask, jax.random.PRNGKey(1), 0.15
+    )
+    assert mean.shape == (1, 33, 29, 1) and std.shape == (1, 33, 29, 1)
+    assert saved.shape == (4, 1, 33, 29, 1)
+    # dropblock randomness must actually produce spread
+    assert float(jnp.max(std)) > 0.0
+    # members differ
+    assert not np.allclose(np.asarray(saved[0]), np.asarray(saved[1]))
+    # direct recomputation of the saved members' stats is consistent:
+    # mean must lie within the members' range on average
+    assert 0.0 <= float(jnp.min(mean)) and float(jnp.max(mean)) <= 1.0
+
+
+def test_mc_dropblock_resize():
+    model, params = _small_model()
+    engine = MCDropBlockEngine(model, num_iterations=8, return_num=0, resize=32, chunk=4)
+    im = jnp.ones((1, 40, 30, 1)) * 0.4
+    mean, std, saved, im2, gt2, mask2 = engine.predict(
+        params, im, im, jnp.ones_like(im), jax.random.PRNGKey(0), 0.15
+    )
+    assert mean.shape == (1, 32, 32, 1)
+    assert im2.shape == (1, 32, 32, 1)
+
+
+def test_rotational_engine_zero_variance_for_invariant_model():
+    # with dropblock off and a rotationally-symmetric constant input, the
+    # predictions should be nearly identical across angles inside the FOV
+    model, params = _small_model(dropblock_kind=None)
+    engine = RotationalEngine(model, num_iterations=8, return_num=2, chunk=4)
+    im = jnp.ones((1, 33, 33, 1)) * 0.5
+    mask = jnp.zeros((1, 33, 33, 1)).at[:, 12:21, 12:21, :].set(1.0)
+    mean, std, saved, *_ = engine.predict(params, im, im, mask)
+    assert mean.shape == (1, 33, 33, 1)
+    assert saved.shape == (2, 1, 33, 33, 1)
+    # interior variance should be small (rotation of a constant image only
+    # perturbs via border effects)
+    inner_std = float(jnp.max(std[:, 15:18, 15:18, :]))
+    assert inner_std < 0.05
+
+
+def test_rotational_engine_matches_serial_loop():
+    # chunked vmapped ensemble == explicit serial loop over the same angles
+    from unet_research_tpu.ops.image import rotate_bilinear
+
+    model, params = _small_model(dropblock_kind=None)
+    engine = RotationalEngine(model, num_iterations=6, return_num=0, chunk=4)
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.random((1, 32, 32, 1), dtype=np.float32))
+    mask = jnp.ones_like(im)
+    mean, std, *_ = engine.predict(params, im, im, mask)
+
+    outs = []
+    for a in range(1, 7):
+        seg = model.apply({"params": params}, rotate_bilinear(im, float(a)))
+        outs.append(np.asarray(rotate_bilinear(seg, -float(a)) * mask))
+    outs = np.stack([o[0] for o in outs])
+    # tolerance: batched (vmapped) conv reductions reassociate vs the serial
+    # loop; GroupNorm amplifies the fp32 noise to ~1e-3
+    np.testing.assert_allclose(np.asarray(mean[0]), outs.mean(0), rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(std[0]), outs.std(0, ddof=1), rtol=2e-2, atol=1e-3)
