@@ -39,12 +39,16 @@ def resize_bilinear(img: jax.Array, size: tuple[int, int]) -> jax.Array:
     return jax.image.resize(img, out_shape, method="linear", antialias=False)
 
 
-def _bilinear_gather_2d(img: jax.Array, src_y: jax.Array, src_x: jax.Array) -> jax.Array:
-    """Sample NHWC `img` at fractional (src_y, src_x) maps of shape (H', W').
+def _bilinear_gather_2d(
+    img: jax.Array, src_y: jax.Array, src_x: jax.Array, border: str = "zeros"
+) -> jax.Array:
+    """Sample NHWC `img` bilinearly at fractional (src_y, src_x) maps of
+    shape (H', W').
 
-    Zero padding outside the image, matching ``torch.nn.functional.grid_sample
-    (padding_mode='zeros', align_corners=False)``: each of the four corner
-    taps contributes 0 when it falls outside the canvas.
+    border='zeros': out-of-canvas corner taps contribute 0, matching
+    ``torch.nn.functional.grid_sample(padding_mode='zeros',
+    align_corners=False)``. border='replicate': taps clamp to the edge
+    (cv2 BORDER_REPLICATE).
     """
     n, h, w, c = img.shape
     y0 = jnp.floor(src_y)
@@ -55,12 +59,14 @@ def _bilinear_gather_2d(img: jax.Array, src_y: jax.Array, src_x: jax.Array) -> j
     x0 = x0.astype(jnp.int32)
 
     def tap(yi, xi):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         yc = jnp.clip(yi, 0, h - 1)
         xc = jnp.clip(xi, 0, w - 1)
         # gather rows then columns: (N, H', W', C)
         vals = img[:, yc, xc, :]
-        return vals * valid[None, :, :, None].astype(img.dtype)
+        if border == "zeros":
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            vals = vals * valid[None, :, :, None].astype(img.dtype)
+        return vals
 
     v00 = tap(y0, x0)
     v01 = tap(y0, x0 + 1)
@@ -69,6 +75,24 @@ def _bilinear_gather_2d(img: jax.Array, src_y: jax.Array, src_x: jax.Array) -> j
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     return top * (1.0 - wy) + bot * wy
+
+
+def _nearest_gather_2d(
+    img: jax.Array, src_y: jax.Array, src_x: jax.Array, border: str = "replicate"
+) -> jax.Array:
+    """Nearest-neighbor sample (cv2 INTER_NEAREST rounds half down via
+    floor(x+0.5) on non-negative; we use round-half-up like cv2's fixed
+    point)."""
+    n, h, w, c = img.shape
+    yi = jnp.floor(src_y + 0.5).astype(jnp.int32)
+    xi = jnp.floor(src_x + 0.5).astype(jnp.int32)
+    yc = jnp.clip(yi, 0, h - 1)
+    xc = jnp.clip(xi, 0, w - 1)
+    vals = img[:, yc, xc, :]
+    if border == "zeros":
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        vals = vals * valid[None, :, :, None].astype(img.dtype)
+    return vals
 
 
 def rotate_bilinear(img: jax.Array, angle_deg: jax.Array | float) -> jax.Array:
@@ -98,6 +122,57 @@ def rotate_bilinear(img: jax.Array, angle_deg: jax.Array | float) -> jax.Array:
     src_x = jnp.broadcast_to(src_x, (h, w))
     src_y = jnp.broadcast_to(src_y, (h, w))
     return _bilinear_gather_2d(img, src_y, src_x)
+
+
+def rotate_cv2_like(
+    img: jax.Array,
+    angle_deg: jax.Array | float,
+    interpolation: str = "bilinear",
+    border: str = "replicate",
+) -> jax.Array:
+    """Rotate NHWC images the cv2/albumentations way: CCW about the absolute
+    center (W/2, H/2), BORDER_REPLICATE by default — the augmentation
+    generator's A.Rotate(limit=180, border_mode=1)
+    (reference preprocessing/create_augmentations.py:51-58). Bilinear for
+    images, nearest for masks/targets (albumentations mask convention).
+    """
+    n, h, w, c = img.shape
+    a = jnp.deg2rad(jnp.asarray(angle_deg, dtype=jnp.float32))
+    cy = h / 2.0
+    cx = w / 2.0
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    cos_a = jnp.cos(a)
+    sin_a = jnp.sin(a)
+    src_x = jnp.broadcast_to(cos_a * xx - sin_a * yy + cx, (h, w))
+    src_y = jnp.broadcast_to(sin_a * xx + cos_a * yy + cy, (h, w))
+    if interpolation == "bilinear":
+        return _bilinear_gather_2d(img, src_y, src_x, border=border)
+    return _nearest_gather_2d(img, src_y, src_x, border=border)
+
+
+def flip_nhwc(img: jax.Array, code: int) -> jax.Array:
+    """cv2.flip semantics: 0 = vertical (around x-axis), 1 = horizontal,
+    -1 = both (A.Flip draws the code uniformly,
+    create_augmentations.py:52-53)."""
+    if code == 0:
+        return img[:, ::-1, :, :]
+    if code == 1:
+        return img[:, :, ::-1, :]
+    if code == -1:
+        return img[:, ::-1, ::-1, :]
+    raise ValueError("flip code must be -1, 0 or 1")
+
+
+def to_gray_rgb(img: jax.Array) -> jax.Array:
+    """A.ToGray equivalent on uint8-valued RGB (NHWC float holding 0..255):
+    cv2 RGB2GRAY fixed-point Y = (R*4899 + G*9617 + B*1868 + 8192) >> 14,
+    replicated back to 3 channels."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = jnp.floor(
+        (r * 4899.0 + g * 9617.0 + b * 1868.0 + 8192.0) / 16384.0
+    )
+    return jnp.repeat(y[..., None], 3, axis=-1)
 
 
 def square_pad(img: jax.Array) -> jax.Array:
