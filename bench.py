@@ -1,0 +1,81 @@
+"""Headline benchmark: MC-DropBlock uncertainty passes/sec on one chip.
+
+The reference's hot loop is 1000 serial batch-1 torch forward passes of the
+31M-param U-Net per 584x565 DRIVE image with fresh DropBlock masks each pass
+(uncertainty_tests/Dropblock_Uncertainty.py:64) — single-digit passes/sec
+class on a contemporary GPU. Here the ensemble runs as chunked vmapped
+device batches in bfloat16 with streaming statistics (one jitted program).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "passes/sec", "vs_baseline": N/REF}
+vs_baseline is measured against BASELINE.json's driver target of 1000
+passes/sec/chip (there are no published upstream numbers; BASELINE.md).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from unet_research_tpu.models import DropBlockConfig, UNet, UNetConfig, canonical_config
+    from unet_research_tpu.uncertainty import MCDropBlockEngine
+
+    num_iterations = int(os.environ.get("BENCH_ITERS", 1000))
+    chunk = int(os.environ.get("BENCH_CHUNK", 25))
+    h, w = 584, 565
+
+    cfg = canonical_config(dtype=jnp.bfloat16)
+    cfg = UNetConfig(
+        **{
+            **cfg.__dict__,
+            "dropblock": DropBlockConfig(
+                kind="dependent", block_size=7, drop_prob=0.15, use_scheduler=False
+            ),
+        }
+    )
+    model = UNet(cfg)
+
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.random((1, h, w, 1), dtype=np.float32))
+    gt = jnp.zeros_like(im)
+    mask = jnp.ones_like(im)
+    params = model.init(jax.random.PRNGKey(0), im)["params"]
+
+    engine = MCDropBlockEngine(
+        model, num_iterations=num_iterations, return_num=0, chunk=chunk
+    )
+
+    # warmup (compile)
+    mean, std, *_ = engine.predict(params, im, gt, mask, jax.random.PRNGKey(1), 0.15)
+    jax.block_until_ready((mean, std))
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        mean, std, *_ = engine.predict(
+            params, im, gt, mask, jax.random.PRNGKey(2 + i), 0.15
+        )
+        jax.block_until_ready((mean, std))
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    passes_per_sec = num_iterations / best
+    print(
+        json.dumps(
+            {
+                "metric": "mc_dropblock_passes_per_sec_584x565_1chip",
+                "value": round(passes_per_sec, 2),
+                "unit": "passes/sec",
+                "vs_baseline": round(passes_per_sec / 1000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

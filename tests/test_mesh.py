@@ -1,0 +1,91 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_research_tpu.parallel import data_sharding, make_mesh, replicated
+
+
+def test_mesh_axes():
+    mesh = make_mesh(data=8, model=1)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["data"] == 8
+
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+    with pytest.raises(ValueError):
+        make_mesh(data=16, model=1)
+
+
+def test_dp_train_step_matches_single_device(tmp_path):
+    """A data-parallel step over 8 devices must produce the same update as
+    the same batch on one device (the gradient psum is exact)."""
+    from unet_research_tpu.models import DropBlockConfig, UNet, UNetConfig, canonical_config
+    from unet_research_tpu.train import POLICIES, Trainer, TrainerConfig
+
+    cfg = canonical_config(filters=8)
+    cfg = UNetConfig(
+        **{
+            **cfg.__dict__,
+            "group_norm_groups": 4,
+            "model_depth": 2,
+            "dropblock": DropBlockConfig(kind=None),
+        }
+    )
+    model = UNet(cfg)
+    tcfg = TrainerConfig(auto_lr_find=False, lr=0.05, verbose=False)
+
+    mesh = make_mesh(data=8)
+    t_dp = Trainer(model, POLICIES["none"], tcfg, mesh=mesh)
+    t_sd = Trainer(model, POLICIES["none"], tcfg)
+
+    params = t_sd.init_params(seed=0)
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.random((8, 32, 32, 1), dtype=np.float32))
+    gt = (jnp.asarray(rng.random((8, 32, 32, 1))) > 0.5).astype(jnp.float32)
+    mask = jnp.ones((8, 32, 32, 1), jnp.float32)
+
+    key = jax.random.PRNGKey(0)
+    s_dp = t_dp.create_state(params)
+    s_sd = t_sd.create_state(params)
+    dp = data_sharding(mesh)
+    im_s, gt_s, mask_s = jax.device_put((im, gt, mask), dp)
+
+    s_dp, loss_dp = t_dp._train_step(s_dp, im_s, gt_s, mask_s, 0.05, key, -1)
+    s_sd, loss_sd = t_sd._train_step(s_sd, im, gt, mask, 0.05, key, -1)
+
+    assert float(loss_dp) == pytest.approx(float(loss_sd), rel=2e-5)
+    a = jax.tree_util.tree_leaves(s_dp.params)
+    b = jax.tree_util.tree_leaves(s_sd.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-6)
+
+
+def test_graft_dryrun_multichip():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles_small():
+    """entry() returns a jittable fn; compile-check it on a small shape to
+    keep CPU CI fast (the driver runs the full 584x565 on TPU)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    from unet_research_tpu.models import UNet, canonical_config
+
+    # same construction as entry(), smaller model+shape
+    model = UNet(canonical_config(filters=8, model_depth=2, group_norm_groups=4))
+    x = jnp.zeros((1, 37, 29, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    out = fn(params, x)
+    assert out.shape == (1, 37, 29, 1)

@@ -54,12 +54,19 @@ class TrainerConfig:
 
 
 class Trainer:
-    """Drives one model + one resize policy end to end."""
+    """Drives one model + one resize policy end to end.
 
-    def __init__(self, model: UNet, policy: ResizePolicy, cfg: TrainerConfig):
+    With `mesh`, the jitted steps carry data-parallel sharding constraints:
+    batches shard over the mesh's 'data' axis, params/optimizer state
+    replicate, and XLA inserts the gradient psum (the reference's latent
+    DDP path, SURVEY.md §2.8, done the TPU way).
+    """
+
+    def __init__(self, model: UNet, policy: ResizePolicy, cfg: TrainerConfig, mesh=None):
         self.model = model
         self.policy = policy
         self.cfg = cfg
+        self.mesh = mesh
         db = model.cfg.dropblock
         self._has_dropblock = db.kind is not None
 
@@ -100,9 +107,27 @@ class Trainer:
         def predict_step(params, im, gt, mask):
             return self.policy.predict_io(lambda x: forward_eval(params, x), im, gt, mask)
 
-        self._train_step = jax.jit(train_step, static_argnames=("size",))
-        self._eval_step = jax.jit(eval_step)
-        self._predict_step = jax.jit(predict_step)
+        if mesh is not None:
+            from unet_research_tpu.parallel.mesh import data_sharding, replicated
+
+            dp = data_sharding(mesh)
+            rep = replicated(mesh)
+            self._train_step = jax.jit(
+                train_step,
+                static_argnames=("size",),
+                in_shardings=(rep, dp, dp, dp, rep, rep),
+                out_shardings=(rep, rep),
+            )
+            self._eval_step = jax.jit(
+                eval_step, in_shardings=(rep, dp, dp, dp), out_shardings=rep
+            )
+            self._predict_step = jax.jit(
+                predict_step, in_shardings=(rep, dp, dp, dp), out_shardings=dp
+            )
+        else:
+            self._train_step = jax.jit(train_step, static_argnames=("size",))
+            self._eval_step = jax.jit(eval_step)
+            self._predict_step = jax.jit(predict_step)
 
     # ------------------------------------------------------------------
     def init_params(self, init_channels: Optional[int] = None, seed: int = 0):
