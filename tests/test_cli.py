@@ -1,0 +1,158 @@
+"""End-to-end CLI integration tests on a tiny synthetic dataset.
+
+Drives the public entry points the way a reference user would (train ->
+test -> uncertainty), checking the output directory contract
+(SURVEY.md §5 'output directory contract') with a scaled-down model.
+"""
+
+import os
+from os.path import exists, join
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+SMALL = ["-filters", "4", "-model_depth", "2", "-group_norm_groups", "2",
+         "--auto_lr_find", "False"]
+
+
+@pytest.fixture(scope="module")
+def aug_data(tmp_path_factory):
+    """Tiny augmented-layout dataset: train/val (images,targets,masks) + test."""
+    root = tmp_path_factory.mktemp("aug")
+    rng = np.random.default_rng(0)
+    for split, n, with_targets in [("train", 6, True), ("val", 2, True), ("test", 2, False)]:
+        d = root / split
+        (d / "images").mkdir(parents=True)
+        (d / "masks").mkdir()
+        if with_targets:
+            (d / "targets").mkdir()
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 256, (32, 32)).astype(np.uint8)).save(
+                d / "images" / f"{i}_image.png"
+            )
+            Image.fromarray(np.full((32, 32), 255, np.uint8)).save(
+                d / "masks" / f"{i}_mask.png"
+            )
+            if with_targets:
+                Image.fromarray(
+                    ((rng.random((32, 32)) > 0.5) * 255).astype(np.uint8)
+                ).save(d / "targets" / f"{i}_target.png")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def trained(aug_data, tmp_path_factory):
+    from unet_research_tpu.cli import training
+
+    out_root = tmp_path_factory.mktemp("runs")
+    dest = training.main(
+        ["-mode", "train", "-data_path", aug_data, "-save_path", str(out_root / "bm"),
+         "-num_epochs", "2", "-seed", "7"] + SMALL
+    )
+    return dest
+
+
+def test_training_output_contract(trained):
+    ckpts = os.listdir(join(trained, "model_info"))
+    assert len(ckpts) == 1 and ckpts[0].startswith("model-epoch=")
+    stats = join(trained, "statistics")
+    assert exists(join(stats, "losses", "train_losses.txt"))
+    assert exists(join(stats, "losses", "validation_losses.txt"))
+    assert exists(join(stats, "losses", "loss_profile.png"))
+    assert exists(join(stats, "test_images", "segmentations", "1.png"))
+    assert exists(join(stats, "test_images", "examples", "test_example_1.png"))
+    assert exists(join(stats, "val_images", "examples", "val_image_1", "val_example_1.png"))
+    assert exists(join(stats, "val_images", "examples", "val_image_1", "contour_map.png"))
+    assert exists(join(stats, "val_images", "examples", "val_image_1", "overlap_map.png"))
+    assert exists(join(stats, "val_images", "tensors", "image_0", "segmentation.pt"))
+    df = pd.read_csv(join(stats, "val_images", "metrics.csv"))
+    assert list(df.columns) == ["Validation_Image", "F1_Vessel", "AUROC_Vessel", "Accuracy_Vessel"]
+    assert len(df) == 2
+    # segmentation.pt is (C,H,W) torch tensor like the reference's
+    import torch
+
+    seg = torch.load(join(stats, "val_images", "tensors", "image_0", "segmentation.pt"))
+    assert tuple(seg.shape) == (1, 32, 32)
+
+
+def test_testing_mode(trained, aug_data, tmp_path):
+    from unet_research_tpu.cli import training
+    from unet_research_tpu.train.checkpoint import find_checkpoint
+
+    ckpt = find_checkpoint(join(trained, "model_info"))
+    out = training.main(
+        ["-mode", "test", "-model_path", ckpt, "-data_path", aug_data,
+         "-save_path", str(tmp_path / "teststats"), "-seed", "7"] + SMALL
+    )
+    assert exists(join(out, "val_images", "metrics.csv"))
+
+
+def test_dropblock_uncertainty_cli(trained, aug_data, tmp_path):
+    from unet_research_tpu.cli import dropblock_uncertainty
+    from unet_research_tpu.train.checkpoint import find_checkpoint
+
+    ckpt = find_checkpoint(join(trained, "model_info"))
+    out = dropblock_uncertainty.main(
+        ["-model_path", ckpt, "-data_path", aug_data,
+         "-save_path", str(tmp_path / "mc"), "-iter_num", "8", "-save_num", "3",
+         "-chunk", "4", "-block_size", "3", "-seed", "3", "-reuse_tensors"] + SMALL
+    )
+    assert os.path.islink(join(out, "model_ckpt_symlink.ckpt"))
+    import torch
+
+    mean = torch.load(join(out, "tensors", "image_0", "mean.pt"))
+    std = torch.load(join(out, "tensors", "image_0", "std.pt"))
+    tensors = torch.load(join(out, "tensors", "image_0", "tensors.pt"))
+    assert tuple(mean.shape) == (1, 1, 32, 32)
+    assert tuple(std.shape) == (1, 1, 32, 32)
+    assert tuple(tensors.shape) == (3, 1, 1, 32, 32)
+    assert float(std.max()) > 0
+    assert exists(join(out, "statistics", "val_images", "metrics.csv"))
+    # disable_test => no test_images segmentations
+    assert not exists(join(out, "statistics", "test_images", "segmentations"))
+
+
+def test_rotational_uncertainty_cli(trained, aug_data, tmp_path):
+    from unet_research_tpu.cli import rotational_uncertainty
+    from unet_research_tpu.train.checkpoint import find_checkpoint
+
+    ckpt = find_checkpoint(join(trained, "model_info"))
+    out = rotational_uncertainty.main(
+        ["-model_path", ckpt, "-data_path", aug_data,
+         "-save_path", str(tmp_path / "rot"), "-num_iterations", "6",
+         "-save_num", "2", "-chunk", "3", "-seed", "3"] + SMALL
+    )
+    import torch
+
+    # rotational saves image dirs at the top level (no tensors/ nesting)
+    mean = torch.load(join(out, "image_0", "mean.pt"))
+    assert tuple(mean.shape) == (1, 1, 32, 32)
+    assert exists(join(out, "image_1", "tensors.pt"))
+
+
+def test_base_model_mf_sweep(trained, aug_data, tmp_path):
+    from unet_research_tpu.cli import base_model_mf
+    from unet_research_tpu.train.checkpoint import find_checkpoint
+
+    ckpt = find_checkpoint(join(trained, "model_info"))
+    out = base_model_mf.main(
+        ["-model_path", ckpt, "-data_path", aug_data,
+         "-save_path", str(tmp_path / "sweep"), "-height", "16,32", "-width", "16,32",
+         "-seed", "3"] + SMALL
+    )
+    assert exists(join(out, "16x16", "val_images", "metrics.csv"))
+    assert exists(join(out, "32x32", "val_images", "metrics.csv"))
+
+
+def test_run_matrix_dry_run(aug_data, tmp_path, capsys):
+    from unet_research_tpu.cli import run_matrix
+
+    run_matrix.main(
+        ["-stage", "train", "-data_path", aug_data, "-out_root", str(tmp_path / "m"),
+         "--dry_run"]
+    )
+    outp = capsys.readouterr().out
+    assert outp.count("[run_matrix]") == 12
+    assert "-policy rsz-rat" in outp and "-train_ratio" in outp

@@ -1,0 +1,50 @@
+"""Equivalence tests for the TPU-performance rewrites of standard ops."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_research_tpu.models.unet import DepthToSpaceUpConv
+from unet_research_tpu.ops.dropblock import _block_expand_max
+
+
+def test_depth_to_space_matches_conv_transpose(rng):
+    """Matches flax nn.ConvTranspose(2,2,s=2) up to kernel orientation:
+    our kernel follows the torch ConvTranspose2d stamp convention
+    (out[2i+di,2j+dj] += x[i,j]*K[di,dj]); flax applies the rot-180 kernel
+    (gradient-of-conv semantics), so the flax reference gets the flipped
+    weights."""
+    x = jnp.asarray(rng.random((2, 5, 7, 6), dtype=np.float32))
+    ref = nn.ConvTranspose(features=4, kernel_size=(2, 2), strides=(2, 2), padding="VALID")
+    v_ref = ref.init(jax.random.PRNGKey(0), x)
+    ours = DepthToSpaceUpConv(
+        features=4,
+        use_bias=True,
+        kernel_init=nn.initializers.lecun_normal(),
+        bias_init=nn.initializers.zeros_init(),
+    )
+    v_ours = jax.tree_util.tree_map(lambda a: a, v_ref)
+    v_ours = {"params": {"kernel": v_ref["params"]["kernel"][::-1, ::-1], "bias": v_ref["params"]["bias"]}}
+    out_ref = ref.apply(v_ref, x)
+    out_ours = ours.apply(v_ours, x)
+    assert out_ours.shape == (2, 10, 14, 4)
+    np.testing.assert_allclose(np.asarray(out_ours), np.asarray(out_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_separable_block_expand_matches_2d(rng):
+    from jax import lax
+
+    for b in (3, 4, 7):
+        mask = (rng.random((2, 11, 13, 3)) < 0.2).astype(np.float32)
+        m = jnp.asarray(mask)
+        sep = _block_expand_max(m, b)
+        p = b // 2
+        ref = lax.reduce_window(
+            m, -jnp.inf, lax.max,
+            window_dimensions=(1, b, b, 1), window_strides=(1, 1, 1, 1),
+            padding=((0, 0), (p, p), (p, p), (0, 0)),
+        )
+        if b % 2 == 0:
+            ref = ref[:, :11, :13, :]
+        np.testing.assert_array_equal(np.asarray(sep), np.asarray(ref))

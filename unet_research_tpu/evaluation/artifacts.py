@@ -39,6 +39,27 @@ def save_tensor(arr: np.ndarray, path: str) -> None:
     torch.save(torch.from_numpy(_chw(arr).copy()), path)
 
 
+def save_tensor_batched(arr_nhwc: np.ndarray, path: str) -> None:
+    """torch.save of an (N,C,H,W) tensor from NHWC — the uncertainty engines'
+    mean/std dumps keep the batch dim ((1,1,H,W),
+    Dropblock_Uncertainty.py:66-67,157-165)."""
+    import torch
+
+    a = np.asarray(arr_nhwc, dtype=np.float32)
+    a = np.moveaxis(a, -1, 1)  # NHWC -> NCHW
+    torch.save(torch.from_numpy(a.copy()), path)
+
+
+def save_stacked_tensors(arr_knhwc: np.ndarray, path: str) -> None:
+    """torch.save of a (K,N,C,H,W) member stack from (K,N,H,W,C) — the
+    reference's tensors.pt layout (vstack of unsqueezed (1,1,H,W) members)."""
+    import torch
+
+    a = np.asarray(arr_knhwc, dtype=np.float32)
+    a = np.moveaxis(a, -1, 2)  # KNHWC -> KNCHW
+    torch.save(torch.from_numpy(a.copy()), path)
+
+
 def save_losses_as_text(train_losses, val_losses, save_path=".") -> None:
     np.array(train_losses, dtype=np.float64).tofile(
         join(save_path, "train_losses.txt"), sep="\n", format="%ls"

@@ -200,6 +200,41 @@ class _Layers(nn.Module):
         )(x)
 
 
+class DepthToSpaceUpConv(nn.Module):
+    """2x2 stride-2 transposed conv as 1x1-matmul + pixel shuffle.
+
+    Mathematically identical to nn.ConvTranspose(kernel=(2,2), strides=(2,2),
+    padding='VALID') — with k=s there is no tap overlap, so
+    out[n, 2i+di, 2j+dj, f] = sum_c x[n,i,j,c] * kernel[di,dj,c,f] (+ bias).
+    On TPU the lhs-dilated conv XLA lowers a conv_transpose to wastes 3/4 of
+    its MACs on inserted zeros; the einsum form is a clean MXU matmul.
+    Parameter tree ('kernel'/'bias' shapes) matches nn.ConvTranspose so
+    checkpoints are interchangeable (verified in tests/test_unet_perf_ops.py).
+    """
+
+    features: int
+    use_bias: bool
+    kernel_init: Any
+    bias_init: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (2, 2, ci, self.features))
+        y = jnp.einsum(
+            "nhwc,ijcf->nhiwjf",
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+        )
+        n, h, _, w, _, f = y.shape
+        y = y.reshape(n, 2 * h, 2 * w, f)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ConvBlock(_Layers):
     """`conv_layers_per_block` convs, each conv -> norm -> dropblock -> act.
 
@@ -261,11 +296,8 @@ class UpBlock(_Layers):
     def __call__(self, x):
         cfg = self.cfg
         if cfg.up_mode == "upconv":
-            x = nn.ConvTranspose(
+            x = DepthToSpaceUpConv(
                 features=self.features,
-                kernel_size=(2, 2),
-                strides=(2, 2),
-                padding="VALID",
                 use_bias=cfg.norm is None,
                 kernel_init=transpose_kernel_init(self.features, 2, 2),
                 bias_init=torch_bias_init(self.features * 4),

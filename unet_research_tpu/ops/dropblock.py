@@ -41,11 +41,46 @@ def dropblock_gamma_independent(h: int, w: int, block_size: int, drop_prob) -> j
     return jnp.minimum(gamma, 1.0)
 
 
+def _hash_uniform(key: jax.Array, shape) -> jax.Array:
+    """Counter-based uniform [0,1) noise from a murmur3-style integer mixer.
+
+    jax.random's threefry costs ~100 int-ops per draw and dominated the MC
+    hot loop (~10 ms of a 21 ms pass at 584x565); this mixer is ~10 VPU ops
+    per element, coordinate-stable, and XLA fuses it straight into the
+    dropblock mask pipeline with no HBM round trip. Independence across MC
+    members comes from folding both PRNG key words into the hash; the
+    statistical tests in tests/test_dropblock.py run against this path.
+    """
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    n = 1
+    for s in shape:
+        n *= s
+    idx = lax.broadcasted_iota(jnp.uint32, (n, 1), 0).reshape(shape)
+    x = idx * jnp.uint32(2654435761) ^ kd[0]
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15) ^ kd[-1]
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    # 24-bit mantissa -> exact float32 uniform in [0, 1)
+    return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _bernoulli(key, gamma, shape, fast_rng: bool):
+    if fast_rng:
+        return _hash_uniform(key, shape) < gamma
+    return jax.random.bernoulli(key, gamma, shape=shape)
+
+
 def _block_expand_max(mask: jax.Array, block_size: int) -> jax.Array:
     """Stride-1 max-pool with kernel `block_size`, torch-style b//2 padding.
 
     Expands isolated seed ones into b x b blocks. For even b the torch code
     crops the trailing row/col after pooling; we do the same.
+
+    Computed separably (1D max over H, then over W) — max over a rectangle
+    factorizes exactly, and two b-tap passes cost 2b reads/element instead
+    of b^2, which matters at b=7 on every dropblock site of the MC hot loop.
     """
     b = block_size
     p = b // 2
@@ -53,17 +88,27 @@ def _block_expand_max(mask: jax.Array, block_size: int) -> jax.Array:
         mask,
         -jnp.inf,
         lax.max,
-        window_dimensions=(1, b, b, 1),
+        window_dimensions=(1, b, 1, 1),
         window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (p, p), (p, p), (0, 0)),
+        padding=((0, 0), (p, p), (0, 0), (0, 0)),
     )
     if b % 2 == 0:
-        out = out[:, : mask.shape[1], : mask.shape[2], :]
+        out = out[:, : mask.shape[1], :, :]
+    out = lax.reduce_window(
+        out,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, 1, b, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (0, 0), (p, p), (0, 0)),
+    )
+    if b % 2 == 0:
+        out = out[:, :, : mask.shape[2], :]
     return out
 
 
 def dropblock_dependent(
-    x: jax.Array, key: jax.Array, drop_prob, block_size: int
+    x: jax.Array, key: jax.Array, drop_prob, block_size: int, fast_rng: bool = True
 ) -> jax.Array:
     """DropBlock2D-equivalent (reference utils_modules.py:36-82), NHWC.
 
@@ -80,9 +125,9 @@ def dropblock_dependent(
     n, h, w, c = x.shape
     b = block_size
     gamma = dropblock_gamma_dependent(h, w, b, drop_prob)
-    seeds = jax.random.bernoulli(
-        key, gamma, shape=(n, h - b + 1, w - b + 1, c)
-    ).astype(x.dtype)
+    seeds = _bernoulli(key, gamma, (n, h - b + 1, w - b + 1, c), fast_rng).astype(
+        x.dtype
+    )
     p = b // 2
     mask = jnp.pad(seeds, ((0, 0), (p, p), (p, p), (0, 0)))
     if b % 2 == 0:
@@ -96,7 +141,7 @@ def dropblock_dependent(
 
 
 def dropblock_independent(
-    x: jax.Array, key: jax.Array, drop_prob, block_size: int
+    x: jax.Array, key: jax.Array, drop_prob, block_size: int, fast_rng: bool = True
 ) -> jax.Array:
     """Dropblock2d_ichan-equivalent (reference utils_modules.py:107-139), NHWC.
 
@@ -110,7 +155,7 @@ def dropblock_independent(
     n, h, w, c = x.shape
     b = block_size
     gamma = dropblock_gamma_independent(h, w, b, drop_prob)
-    seeds = jax.random.bernoulli(key, gamma, shape=x.shape).astype(x.dtype)
+    seeds = _bernoulli(key, gamma, x.shape, fast_rng).astype(x.dtype)
     ex = b // 2
     if ex > 0:
         border = jnp.zeros((h, w), dtype=x.dtype)
