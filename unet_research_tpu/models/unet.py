@@ -54,6 +54,8 @@ class DropBlockConfig:
 
     kind: 'dependent' (DropBlock2D) | 'independent' (Dropblock2d_ichan) | None.
     The linear schedule fields mirror LinearScheduler(start, stop, nr_steps).
+    use_pallas: allow the fused TPU kernel on the hot path (falls back to the
+    pure-XLA implementation off-TPU or for even block sizes).
     """
 
     kind: Optional[str] = "dependent"
@@ -63,6 +65,16 @@ class DropBlockConfig:
     start_drop_prob: float = 0.0
     max_drop_prob: float = 0.2
     nr_steps: int = 500
+    use_pallas: bool = True
+
+
+def _pallas_ok(block_size: int) -> bool:
+    if block_size % 2 != 1 or block_size <= 1:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,11 +188,31 @@ class _Layers(nn.Module):
 
     def _dropblock(self, x, drop_prob):
         """Apply dropblock when a drop_prob is threaded in (drop_prob=None is
-        the static 'module in eval mode / no dropblock configured' path)."""
+        the static 'module in eval mode / no dropblock configured' path).
+
+        On TPU with odd block sizes this dispatches to the fused Pallas
+        kernel (ops/pallas/dropblock_kernel.py) — hardware PRNG + in-VMEM
+        block expansion, one HBM pass; elsewhere the pure-XLA reference
+        implementation runs."""
         db = self.cfg.dropblock
         if db.kind is None or drop_prob is None:
             return x
         key = self.make_rng("dropblock")
+        if db.use_pallas and _pallas_ok(db.block_size):
+            from unet_research_tpu.ops.dropblock import (
+                dropblock_gamma_dependent,
+                dropblock_gamma_independent,
+            )
+            from unet_research_tpu.ops.pallas.dropblock_kernel import (
+                dropblock_pallas_ad,
+            )
+
+            h, w = x.shape[-3], x.shape[-2]
+            if db.kind == "dependent":
+                gamma = dropblock_gamma_dependent(h, w, db.block_size, drop_prob)
+                return dropblock_pallas_ad(x, key, gamma, db.block_size, False)
+            gamma = dropblock_gamma_independent(h, w, db.block_size, drop_prob)
+            return dropblock_pallas_ad(x, key, gamma, db.block_size, True)
         fn = dropblock_dependent if db.kind == "dependent" else dropblock_independent
         return fn(x, key, drop_prob, db.block_size)
 

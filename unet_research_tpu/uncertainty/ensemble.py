@@ -96,3 +96,64 @@ def streaming_ensemble(
     if saved is None:
         saved = jnp.zeros((0,) + mean.shape, jnp.float32)
     return mean, std, saved
+
+
+def streaming_ensemble_batched(
+    batch_fn,
+    key: jax.Array,
+    total: int,
+    chunk: int,
+    return_num: int = 0,
+):
+    """Like streaming_ensemble, but batch_fn(key, size) produces `size`
+    members ITSELF (shape (size, ...)) — used when per-member randomness is
+    drawn inside the model from one chunk key (the fused Pallas dropblock
+    kernel derives per-sample streams from the batch index, so no vmap over
+    keys is needed and the whole chunk is one real batched forward).
+    """
+    if total < 2:
+        raise ValueError("ensemble needs >= 2 members for std")
+    return_num = min(return_num, total)
+
+    def absorb(stats, outs):
+        bstats = _batch_stats(outs)
+        return bstats if stats is None else _merge(stats, bstats)
+
+    stats = None
+    saved = None
+    consumed = 0
+    kidx = 0
+    if return_num > 0:
+        outs = batch_fn(jax.random.fold_in(key, kidx), return_num).astype(jnp.float32)
+        kidx += 1
+        saved = outs
+        stats = absorb(stats, outs)
+        consumed = return_num
+
+    m = total - consumed
+    n_full = m // chunk
+    start = 0
+    if n_full > 0 and stats is None:
+        stats = absorb(None, batch_fn(jax.random.fold_in(key, kidx), chunk).astype(jnp.float32))
+        kidx += 1
+        start = 1
+    if n_full - start > 0:
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(kidx, kidx + n_full - start)
+        )
+        kidx += n_full - start
+
+        def scan_body(carry, k):
+            outs = batch_fn(k, chunk).astype(jnp.float32)
+            return _merge(carry, _batch_stats(outs)), None
+
+        stats, _ = jax.lax.scan(scan_body, stats, keys)
+    rem = m - n_full * chunk
+    if rem > 0:
+        stats = absorb(stats, batch_fn(jax.random.fold_in(key, kidx), rem).astype(jnp.float32))
+
+    count, mean, m2 = stats
+    std = jnp.sqrt(m2 / (count - 1.0))
+    if saved is None:
+        saved = jnp.zeros((0,) + mean.shape, jnp.float32)
+    return mean, std, saved

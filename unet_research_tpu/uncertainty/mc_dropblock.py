@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from unet_research_tpu.models.unet import UNet
 from unet_research_tpu.ops.image import resize_bilinear, square_pad
-from unet_research_tpu.uncertainty.ensemble import streaming_ensemble
+from unet_research_tpu.uncertainty.ensemble import streaming_ensemble_batched
 
 
 class MCDropBlockEngine:
@@ -51,15 +51,18 @@ class MCDropBlockEngine:
                 gt = resize_bilinear(square_pad(gt), t)
                 mask = resize_bilinear(square_pad(mask), t)
 
-            def sample(k):
+            def batch(k, size: int):
+                # one real batched forward per chunk: the dropblock kernel
+                # derives independent per-sample mask streams from the batch
+                # index, so a single chunk key covers `size` MC members
+                xb = jnp.broadcast_to(im, (size,) + im.shape[1:])
                 seg = model.apply(
-                    {"params": params}, im, drop_prob=drop_prob, rngs={"dropblock": k}
+                    {"params": params}, xb, drop_prob=drop_prob, rngs={"dropblock": k}
                 )
-                return (seg * mask)[0]  # (H, W, 1)
+                return seg * mask  # (size, H, W, 1)
 
-            keys = jax.random.split(key, self.num_iterations)
-            mean, std, saved = streaming_ensemble(
-                sample, keys, self.chunk, self.return_num
+            mean, std, saved = streaming_ensemble_batched(
+                batch, key, self.num_iterations, self.chunk, self.return_num
             )
             return mean[None], std[None], saved[:, None], im, gt, mask
 
