@@ -26,7 +26,7 @@ def main():
     from unet_research_tpu.uncertainty import MCDropBlockEngine
 
     num_iterations = int(os.environ.get("BENCH_ITERS", 1000))
-    chunk = int(os.environ.get("BENCH_CHUNK", 25))
+    chunk = int(os.environ.get("BENCH_CHUNK", 16))
     h, w = 584, 565
 
     cfg = canonical_config(dtype=jnp.bfloat16)
@@ -50,17 +50,24 @@ def main():
         model, num_iterations=num_iterations, return_num=0, chunk=chunk
     )
 
-    # warmup (compile)
-    mean, std, *_ = engine.predict(params, im, gt, mask, jax.random.PRNGKey(1), 0.15)
-    jax.block_until_ready((mean, std))
+    def sync(mean, std):
+        # host scalar fetch: the only reliable execution barrier on the
+        # remote-tunnel backend (block_until_ready returns early on the
+        # first post-compile dispatch there)
+        return float(jnp.sum(mean) + jnp.sum(std))
+
+    # warmups (compile + one clean execution)
+    for i in range(2):
+        mean, std, *_ = engine.predict(params, im, gt, mask, jax.random.PRNGKey(i), 0.15)
+        sync(mean, std)
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         mean, std, *_ = engine.predict(
-            params, im, gt, mask, jax.random.PRNGKey(2 + i), 0.15
+            params, im, gt, mask, jax.random.PRNGKey(10 + i), 0.15
         )
-        jax.block_until_ready((mean, std))
+        sync(mean, std)
         times.append(time.perf_counter() - t0)
 
     best = min(times)

@@ -7,10 +7,13 @@ The 8 virtual CPU devices stand in for a TPU slice so sharding/collective
 paths are exercised without hardware (the 'fake backend' of SURVEY.md §4).
 """
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if os.environ.get("UNET_TPU_TESTS", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

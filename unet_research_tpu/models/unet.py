@@ -65,7 +65,12 @@ class DropBlockConfig:
     start_drop_prob: float = 0.0
     max_drop_prob: float = 0.2
     nr_steps: int = 500
-    use_pallas: bool = True
+    # The fused Pallas kernel is correct and available, but the tuned XLA
+    # path (hash PRNG + separable reduce_window, ops/dropblock.py) currently
+    # measures faster end-to-end on v5e (61 vs 52 MC passes/s at 584x565);
+    # the kernel's mask pipeline is VPU-bound at C<128 lane utilization.
+    # Flip per-model when that changes.
+    use_pallas: bool = False
 
 
 def _pallas_ok(block_size: int) -> bool:
