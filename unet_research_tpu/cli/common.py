@@ -46,6 +46,11 @@ def add_arch_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-filters", dest="filters", type=int, default=64)
     parser.add_argument("-model_depth", dest="model_depth", type=int, default=4)
     parser.add_argument("-group_norm_groups", dest="group_norm_groups", type=int, default=32)
+    parser.add_argument(
+        "-remat", dest="remat", type=str, default="true",
+        help="rematerialize block activations in training (the reference "
+        "always checkpoints via fairscale; 'false' trades memory for speed)",
+    )
 
 
 def add_trainer_args(parser: argparse.ArgumentParser) -> None:

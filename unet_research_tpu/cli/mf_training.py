@@ -28,6 +28,7 @@ from unet_research_tpu.utils.general import create_dir, seed_everything
 
 
 def make_trainer(args, remat: bool = True) -> Trainer:
+    remat = remat and str(getattr(args, "remat", "true")).lower() != "false"
     model = common.build_unet(
         args, dropblock_kind="independent", use_scheduler=True, remat=remat
     )

@@ -26,6 +26,7 @@ from unet_research_tpu.utils.general import create_dir, seed_everything
 
 
 def make_trainer(args, policy_name: str = "none", remat: bool = True) -> Trainer:
+    remat = remat and str(getattr(args, "remat", "true")).lower() != "false"
     model = common.build_unet(
         args, dropblock_kind="dependent", use_scheduler=True, remat=remat
     )
