@@ -213,3 +213,22 @@ def test_fit_resumes_from_checkpoint(tmp_path):
     v1 = trainer.validate(state.params, _tiny_dataset(2, seed=1))
     v2 = trainer.validate(params, _tiny_dataset(2, seed=1))
     assert v1 == pytest.approx(v2, rel=1e-6)
+
+
+def test_fit_resume_continues(tmp_path):
+    """Resume from a checkpoint restores params+momentum+epoch (SURVEY §5)."""
+    model = _tiny_model(dropblock_kind=None)
+    tcfg = TrainerConfig(max_epochs=2, lr=0.02, auto_lr_find=False, seed=5, verbose=False)
+    trainer = Trainer(model, POLICIES["none"], tcfg)
+    tds, vds = _tiny_dataset(), _tiny_dataset(2, seed=1)
+    state, hist, keeper = trainer.fit(tds, vds, str(tmp_path / "a"))
+    assert int(state.step) == 12
+
+    tcfg2 = TrainerConfig(max_epochs=4, lr=0.02, auto_lr_find=False, seed=5, verbose=False)
+    trainer2 = Trainer(model, POLICIES["none"], tcfg2)
+    state2, hist2, _ = trainer2.fit(
+        tds, vds, str(tmp_path / "b"), resume_from=keeper.best_path
+    )
+    # resumed run starts after the checkpoint's epoch and keeps stepping
+    assert len(hist2["train_loss_epoch"]) <= 3
+    assert int(state2.step) > int(state.step)

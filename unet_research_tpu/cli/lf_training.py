@@ -41,6 +41,8 @@ def make_trainer(args, remat: bool = True) -> Trainer:
         train_batch=args.train_batch,
         val_batch=args.val_batch,
         seed=args.seed,
+        profiler=args.profiler,
+        detect_anomaly=args.detect_anomaly,
     )
     policy = lf_policy(args.policy, args.new_size)
     return Trainer(model, policy, tcfg, mesh=common.make_mesh_if_requested(args))

@@ -69,6 +69,24 @@ def stage_train(args, models):
         _run_module(module, argv, args.dry_run)
 
 
+def stage_test(args, models):
+    """Per-model -mode test with the best checkpoint (the reference's
+    testing_script.py:17-39)."""
+    from unet_research_tpu.train.checkpoint import find_checkpoint
+
+    for name in models:
+        module, extra = MATRIX[name]
+        ckpt = "<best.ckpt>" if args.dry_run else find_checkpoint(join(args.out_root, name, "model_info"))
+        argv = [
+            "-mode", "test",
+            "-model_path", ckpt,
+            "-data_path", args.data_path,
+            "-save_path", join(args.out_root, name, "test_statistics"),
+            "-seed", str(args.seed),
+        ] + extra + args.extra
+        _run_module(module, argv, args.dry_run)
+
+
 def stage_uncertainty(args, models):
     from unet_research_tpu.train.checkpoint import find_checkpoint
 
@@ -99,7 +117,7 @@ def stage_density(args, models):
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("-stage", choices=["train", "uncertainty", "density", "all"], default="all")
+    parser.add_argument("-stage", choices=["train", "test", "uncertainty", "density", "all"], default="all")
     parser.add_argument("-data_path", required=True)
     parser.add_argument("-out_root", required=True)
     parser.add_argument("-models", default=",".join(MATRIX), help="comma list of model names")
@@ -115,6 +133,8 @@ def main(argv=None):
 
     if args.stage in ("train", "all"):
         stage_train(args, models)
+    if args.stage == "test":
+        stage_test(args, models)
     if args.stage in ("uncertainty", "all"):
         stage_uncertainty(args, models)
     if args.stage in ("density", "all"):

@@ -40,6 +40,8 @@ def make_trainer(args, policy_name: str = "none", remat: bool = True) -> Trainer
         train_batch=args.train_batch,
         val_batch=args.val_batch,
         seed=args.seed,
+        profiler=args.profiler,
+        detect_anomaly=args.detect_anomaly,
     )
     return Trainer(model, POLICIES[policy_name], tcfg, mesh=common.make_mesh_if_requested(args))
 
@@ -58,7 +60,9 @@ def training(args) -> str:
     trainer = make_trainer(args, "red" if getattr(args, "train_ratio", 1.0) != 1.0 else "none")
     model_info = join(dest, "model_info")
     os.makedirs(model_info)
-    state, history, keeper = trainer.fit(train_ds, val_ds, model_info)
+    state, history, keeper = trainer.fit(
+        train_ds, val_ds, model_info, resume_from=getattr(args, "resume_from", None)
+    )
 
     # reload the best checkpoint for final metrics (training.py:227-231)
     params, meta, _ = load_checkpoint(keeper.best_path, trainer.init_params(seed=0))
@@ -89,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "-train_ratio", dest="train_ratio", type=float, default=1.0,
         help="RED variant: sequentially truncate the train set to this ratio",
+    )
+    parser.add_argument(
+        "-resume_from", dest="resume_from", type=str, default=None,
+        help="checkpoint to resume training from (params + optimizer state)",
     )
     common.add_arch_args(parser)
     common.add_trainer_args(parser)

@@ -119,6 +119,65 @@ def gen_givens(dest: str, num: int, items, seed: int, augment: bool) -> int:
     return num_added
 
 
+def gen_givens_resized(
+    dest: str,
+    sizes: list[int],
+    num: list[int],
+    items,
+    seed: int,
+    resize_up: bool,
+    augment: bool = True,
+) -> int:
+    """Resized-dataset writer (reference utils_preprocessing.py:36-79,
+    unused by the checked-in CLI but part of the preprocessing surface):
+    builds a shuffled per-output size plan from (sizes, num) pairs, cycles
+    the loader until the plan is exhausted, and writes each transformed
+    triple either at size s x s (resize_up=False) or degraded down-then-up
+    at the original size (resize_up=True). Size -1 keeps the original.
+    """
+    assert len(sizes) == len(num)
+    plan = np.repeat(np.asarray(sizes), np.asarray(num))
+    rng_plan = np.random.default_rng(seed)
+    rng_plan.shuffle(plan)
+    total = int(plan.size)
+
+    seed_everything(seed)
+    rng = np.random.default_rng(seed)
+    im_path, target_path, mask_path = _gen_subdir(dest, include_targets=True)
+
+    from unet_research_tpu.ops.image import resize_bilinear
+
+    num_added = 0
+    while num_added < total:
+        for im, gt, mask in items:
+            if num_added >= total:
+                break
+            imj = jnp.asarray(im, jnp.float32)
+            gtj = jnp.asarray(gt, jnp.float32)[..., None]
+            maskj = jnp.asarray(mask, jnp.float32)[..., None]
+            if augment:
+                plans = _plan(rng, 1)
+            else:
+                zero = jnp.zeros(1)
+                plans = (zero, zero.astype(bool), zero.astype(bool), zero.astype(bool))
+            ims, gts, masks = _augment_batch(imj, gtj, maskj, *plans, num=1)
+            triple = [ims[0], gts[0], masks[0]]
+            s = int(plan[num_added])
+            if s != -1:
+                orig_hw = (triple[0].shape[0], triple[0].shape[1])
+                down = [resize_bilinear(t[None], (s, s))[0] for t in triple]
+                if resize_up:
+                    triple = [resize_bilinear(t[None], orig_hw)[0] for t in down]
+                else:
+                    triple = down
+            ims0, gts0, masks0 = jax.device_get(triple)
+            _save_u8(gts0, join(target_path, f"{num_added}_target.png"), "L")
+            _save_u8(ims0, join(im_path, f"{num_added}_image.png"), "RGB")
+            _save_u8(masks0, join(mask_path, f"{num_added}_mask.png"), "L")
+            num_added += 1
+    return num_added
+
+
 def gen_tests(dest: str, items) -> int:
     """ToGray-only test copies, 1-based zero-padded names
     (utils_preprocessing.py:82-95)."""

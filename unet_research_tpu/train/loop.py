@@ -51,6 +51,9 @@ class TrainerConfig:
     seed: int = -1
     log_gate: int = 10  # reference logs train loss when batch_idx % 10 != 0
     verbose: bool = True
+    # aux subsystems (SURVEY.md §5): --profiler / --detect_anomaly analogues
+    profiler: Optional[str] = None  # 'simple' | 'trace'
+    detect_anomaly: bool = False  # per-step finite check (forces host sync)
 
 
 class Trainer:
@@ -150,8 +153,13 @@ class Trainer:
         size_plan: Optional[np.ndarray] = None,
         params=None,
         ckpt_meta: Optional[dict] = None,
+        resume_from: Optional[str] = None,
     ):
         """Train with early stopping + plateau LR + best-ckpt keeping.
+
+        resume_from: a checkpoint written by this trainer (with optimizer
+        state) — training continues from its epoch with its params, momentum
+        and LR (the checkpoint/resume subsystem, SURVEY.md §5).
 
         Returns (final_state, history, keeper). `history` mirrors PL's
         logged-metrics: per-epoch lists 'train_loss_epoch' /
@@ -162,23 +170,52 @@ class Trainer:
         np_rng = np.random.default_rng(seed)
         base_key = jax.random.PRNGKey(seed)
 
+        start_epoch = 0
+        resume_state = None
+        resume_meta = {}
+        if resume_from is not None:
+            from unet_research_tpu.train.checkpoint import load_checkpoint
+
+            template = self.init_params(seed=seed)
+            tpl_state = self.create_state(template)
+            r_params, resume_meta, r_opt = load_checkpoint(
+                resume_from, template, tpl_state.opt_state
+            )
+            lr = float(resume_meta.get("lr", cfg.lr))
+            resume_state = tpl_state.replace(
+                params=r_params,
+                opt_state=r_opt if r_opt is not None else tpl_state.opt_state,
+                step=jnp.asarray(int(resume_meta.get("step", 0)), jnp.int32),
+            )
+            start_epoch = int(resume_meta.get("epoch", -1)) + 1
+            params = r_params
+
         if params is None:
             params = self.init_params(seed=seed)
 
-        lr = cfg.lr
-        if cfg.auto_lr_find:
-            lr = lr_find(self, params, train_ds, size_plan, base_key, seed)
-            if cfg.verbose:
-                print(f"LR finder suggestion: {lr:.3e}")
-
-        state = self.create_state(params, lr)
+        if resume_state is not None:
+            state = resume_state
+        else:
+            lr = cfg.lr
+            if cfg.auto_lr_find:
+                lr = lr_find(self, params, train_ds, size_plan, base_key, seed)
+                if cfg.verbose:
+                    print(f"LR finder suggestion: {lr:.3e}")
+            state = self.create_state(params, lr)
         plateau = ReduceLROnPlateau(lr)
         early = EarlyStopping(patience=cfg.early_stop_patience)
         keeper = BestCheckpointKeeper(model_info_dir)
         history = {"train_loss_epoch": [], "val_loss_epoch": [], "lr": []}
 
+        if cfg.profiler == "trace":
+            import os
+
+            trace_dir = os.path.join(model_info_dir, "..", "profile")
+            jax.profiler.start_trace(trace_dir)
+
+        t_fit = time.time()
         shuffle = not self.policy.uses_size_plan  # MF plans index by batch_idx
-        for epoch in range(cfg.max_epochs):
+        for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             step_losses = []
             for batch_idx, (im, gt, mask) in enumerate(
@@ -186,6 +223,11 @@ class Trainer:
             ):
                 size = int(size_plan[batch_idx]) if size_plan is not None else -1
                 state, loss = self._train_step(state, im, gt, mask, lr, base_key, size)
+                if cfg.detect_anomaly and not np.isfinite(float(loss)):
+                    raise FloatingPointError(
+                        f"non-finite train loss at epoch {epoch} batch {batch_idx}"
+                        " (--detect_anomaly)"
+                    )
                 if batch_idx % cfg.log_gate:  # reference gate quirk
                     step_losses.append(loss)
 
@@ -204,6 +246,7 @@ class Trainer:
                 keeper.update(
                     epoch, val_loss, state.params,
                     meta={**(ckpt_meta or {}), "lr": lr, "step": int(state.step)},
+                    opt_state=state.opt_state,
                 )
                 lr = plateau.step(val_loss)
                 stop = early.step(val_loss)
@@ -217,6 +260,15 @@ class Trainer:
                     if cfg.verbose:
                         print(f"early stopping at epoch {epoch}")
                     break
+        if cfg.profiler == "trace":
+            jax.profiler.stop_trace()
+        if cfg.profiler == "simple" and cfg.verbose:
+            n_epochs = len(history["train_loss_epoch"])
+            total = time.time() - t_fit
+            print(
+                f"[profiler simple] {n_epochs} epochs in {total:.1f}s "
+                f"({total / max(1, n_epochs):.1f}s/epoch)"
+            )
         return state, history, keeper
 
     # ------------------------------------------------------------------
