@@ -35,3 +35,21 @@ def test_masked_rescaled_bce_matches_reference_semantics(rng):
     loss = torch.nn.BCELoss()(st, gtt)
     loss = loss * (st.numel() / torch.from_numpy(mask).count_nonzero())
     assert abs(ours - loss.item()) < 1e-5
+
+
+def test_masked_bce_gradients_finite():
+    """Regression: masked-out pixels are exactly 0 after seg*mask; the loss
+    gradient must stay finite there (torch BCELoss's backward clamps too —
+    an unguarded log produced 0*inf = NaN and silently killed training)."""
+    import jax
+
+    def loss_fn(seg, gt, mask):
+        return masked_rescaled_bce(seg, gt, mask)
+
+    seg = jnp.asarray([[0.5, 0.0, 1.0, 0.2]], dtype=jnp.float32)
+    gt = jnp.asarray([[1.0, 0.0, 1.0, 0.0]], dtype=jnp.float32)
+    mask = jnp.asarray([[1.0, 0.0, 1.0, 1.0]], dtype=jnp.float32)
+    g = jax.grad(loss_fn)(seg, gt, mask)
+    assert np.isfinite(np.asarray(g)).all()
+    # masked-out pixel contributes zero gradient
+    assert float(g[0, 1]) == 0.0

@@ -11,12 +11,25 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# torch BCELoss clamps log terms at -100 for stability.
-_LOG_CLAMP = -100.0
+# torch BCELoss clamps log terms at -100 for stability — and its BACKWARD
+# clamps too. A naive max(log(p), -100) matches the value but its gradient
+# at p=0 is 0 * inf = NaN; masked-out pixels are exactly 0 after seg*mask,
+# so that NaN silently poisoned every update until the model collapsed to
+# all-zero outputs (the forward stayed finite via the NaN scrub, which is
+# exactly the failure mode --detect_anomaly exists for). The double-where
+# safe-log below gives torch's values with finite gradients; inputs below
+# the smallest normal f32 clamp to -100 (denormals flush to zero on TPU).
+_TINY = 1.1754944e-38
+
+
+def _safe_log(v: jax.Array) -> jax.Array:
+    guarded = jnp.where(v < _TINY, 1.0, v)
+    return jnp.where(v < _TINY, -100.0, jnp.log(guarded))
 
 
 def bce_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
-    """Mean binary cross-entropy, identical to torch.nn.BCELoss.
+    """Mean binary cross-entropy, identical to torch.nn.BCELoss (its backward
+    also clamps, so gradients at saturated predictions are finite).
 
     Computed in float32 regardless of input dtype (the model's bf16 compute
     path must not leak into the loss; see SURVEY.md §7 'BCE-after-sigmoid
@@ -24,9 +37,7 @@ def bce_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     """
     p = pred.astype(jnp.float32)
     t = target.astype(jnp.float32)
-    log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
-    log_1p = jnp.maximum(jnp.log(1.0 - p), _LOG_CLAMP)
-    return -jnp.mean(t * log_p + (1.0 - t) * log_1p)
+    return -jnp.mean(t * _safe_log(p) + (1.0 - t) * _safe_log(1.0 - p))
 
 
 def masked_rescaled_bce(seg: jax.Array, gt: jax.Array, mask: jax.Array) -> jax.Array:
