@@ -109,3 +109,33 @@ def test_rotational_engine_matches_serial_loop():
     # loop; GroupNorm amplifies the fp32 noise to ~1e-3
     np.testing.assert_allclose(np.asarray(mean[0]), outs.mean(0), rtol=2e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(std[0]), outs.std(0, ddof=1), rtol=2e-2, atol=1e-3)
+
+
+def test_streaming_batched_matches_direct(rng):
+    from unet_research_tpu.uncertainty import streaming_ensemble_batched
+
+    # deterministic member generator: member value = fold(key, j)-derived
+    # constant; reproduce the exact member sequence on the host
+    def batch_fn(key, size):
+        base = jax.random.randint(key, (size,), 0, 1000).astype(jnp.float32)
+        return base[:, None, None] * jnp.ones((size, 3, 2))
+
+    key = jax.random.PRNGKey(7)
+    total, chunk, rn = 23, 5, 4
+    mean, std, saved = streaming_ensemble_batched(batch_fn, key, total, chunk, rn)
+
+    # replay the chunking schedule: head(rn) with fold 0, then full chunks,
+    # then the remainder, each with the next fold index
+    members = []
+    ki = 0
+    members.append(np.asarray(batch_fn(jax.random.fold_in(key, ki), rn))); ki += 1
+    m = total - rn
+    for _ in range(m // chunk):
+        members.append(np.asarray(batch_fn(jax.random.fold_in(key, ki), chunk))); ki += 1
+    if m % chunk:
+        members.append(np.asarray(batch_fn(jax.random.fold_in(key, ki), m % chunk)))
+    allm = np.concatenate(members)
+    assert allm.shape[0] == total
+    np.testing.assert_allclose(np.asarray(mean), allm.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(std), allm.std(0, ddof=1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(saved), allm[:rn], rtol=1e-6)
