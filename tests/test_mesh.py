@@ -89,3 +89,33 @@ def test_graft_entry_compiles_small():
     fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
     out = fn(params, x)
     assert out.shape == (1, 37, 29, 1)
+
+
+def test_mc_engine_sharded_over_mesh():
+    """MC ensemble with the chunk batch sharded over 8 devices matches the
+    single-device result (mask streams derive from the batch index, so the
+    sharding is numerically transparent)."""
+    from unet_research_tpu.models import DropBlockConfig, UNet, UNetConfig, canonical_config
+    from unet_research_tpu.uncertainty import MCDropBlockEngine
+
+    cfg = canonical_config(filters=8)
+    cfg = UNetConfig(
+        **{
+            **cfg.__dict__,
+            "group_norm_groups": 4,
+            "model_depth": 2,
+            "dropblock": DropBlockConfig(kind="dependent", block_size=3, use_scheduler=False),
+        }
+    )
+    model = UNet(cfg)
+    im = jnp.ones((1, 32, 32, 1)) * 0.4
+    params = model.init(jax.random.PRNGKey(0), im)["params"]
+
+    mesh = make_mesh(data=8)
+    e_sharded = MCDropBlockEngine(model, num_iterations=16, return_num=0, chunk=8, mesh=mesh)
+    e_single = MCDropBlockEngine(model, num_iterations=16, return_num=0, chunk=8)
+    key = jax.random.PRNGKey(3)
+    m1, s1, *_ = e_sharded.predict(params, im, im, jnp.ones_like(im), key, 0.2)
+    m2, s2, *_ = e_single.predict(params, im, im, jnp.ones_like(im), key, 0.2)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-6)

@@ -60,6 +60,7 @@ def test_uncertainty(args) -> str:
         return_num=args.save_num,
         resize=args.resize,
         chunk=args.chunk,
+        mesh=common.make_mesh_if_requested(args),
     )
     base_key = jax.random.PRNGKey(args.seed if args.seed != -1 else 0)
 

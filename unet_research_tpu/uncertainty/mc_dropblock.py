@@ -37,12 +37,21 @@ class MCDropBlockEngine:
         return_num: int = 25,
         resize: int = -1,
         chunk: int = 25,
+        mesh=None,
     ):
+        """mesh: an optional ('data','model') jax Mesh — the chunk batch
+        shards over 'data' so the MC ensemble scales across chips over ICI
+        (the reference's serial loop has no multi-device story at all)."""
         self.model = model
         self.num_iterations = num_iterations
         self.return_num = min(return_num, num_iterations)
         self.resize = resize
         self.chunk = chunk
+        self.mesh = mesh
+        if mesh is not None:
+            ndev = mesh.shape["data"]
+            if chunk % ndev:
+                raise ValueError(f"chunk {chunk} must divide over {ndev} devices")
 
         def run(params, im, gt, mask, key, drop_prob):
             if self.resize != -1:
@@ -56,6 +65,12 @@ class MCDropBlockEngine:
                 # derives independent per-sample mask streams from the batch
                 # index, so a single chunk key covers `size` MC members
                 xb = jnp.broadcast_to(im, (size,) + im.shape[1:])
+                if self.mesh is not None and size % self.mesh.shape["data"] == 0:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    xb = jax.lax.with_sharding_constraint(
+                        xb, NamedSharding(self.mesh, P("data"))
+                    )
                 seg = model.apply(
                     {"params": params}, xb, drop_prob=drop_prob, rngs={"dropblock": k}
                 )
