@@ -102,3 +102,27 @@ def test_create_augmentations_layout(tmp_path):
     out2 = create_augmentations(drive, str(tmp_path / "aug2"), seed=1234, num_train=4)
     train2 = load_split(os.path.join(out2, "train"))
     np.testing.assert_array_equal(train.images, train2.images)
+
+
+def test_gen_givens_resized(tmp_path):
+    from unet_research_tpu.data.augment import gen_givens_resized
+    from unet_research_tpu.data.drive import load_drive
+
+    drive = _fake_drive(tmp_path / "drive2")
+    given = load_drive(drive, "training")
+    items = [given[i] for i in range(3)]
+    out = tmp_path / "rsz"
+    out.mkdir()
+    n = gen_givens_resized(str(out), sizes=[-1, 12], num=[2, 3], items=items,
+                           seed=7, resize_up=False)
+    assert n == 5
+    from PIL import Image
+    sizes = sorted(Image.open(out / "images" / f"{i}_image.png").size for i in range(5))
+    # 3 outputs at 12x12, 2 at original 20x24 (PIL size is (W,H))
+    assert sizes.count((12, 12)) == 3
+    assert sizes.count((20, 24)) == 2
+    # resize_up=True keeps the original canvas
+    out2 = tmp_path / "rszup"
+    out2.mkdir()
+    gen_givens_resized(str(out2), sizes=[12], num=[2], items=items, seed=7, resize_up=True)
+    assert Image.open(out2 / "images" / "0_image.png").size == (20, 24)

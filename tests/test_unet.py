@@ -145,3 +145,15 @@ def test_config_validation():
         canonical_config(up_mode="bogus")
     with pytest.raises(ValueError):
         canonical_config(conv_layers_per_block=1)
+
+
+def test_jit_vs_eager_parity():
+    """SURVEY §5: jit-vs-eager parity assertion — the compiled forward must
+    match op-by-op eager execution."""
+    cfg = canonical_config(filters=8)
+    cfg = UNetConfig(**{**cfg.__dict__, "group_norm_groups": 4, "model_depth": 2})
+    model, variables = make_model(cfg, 48, 40)
+    x = jnp.linspace(0, 1, 48 * 40).reshape(1, 48, 40, 1)
+    eager = model.apply(variables, x)
+    jitted = jax.jit(lambda v, x: model.apply(v, x))(variables, x)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), rtol=1e-5, atol=1e-6)
