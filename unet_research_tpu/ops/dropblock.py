@@ -125,12 +125,23 @@ def dropblock_dependent(
     n, h, w, c = x.shape
     b = block_size
     gamma = dropblock_gamma_dependent(h, w, b, drop_prob)
-    seeds = _bernoulli(key, gamma, (n, h - b + 1, w - b + 1, c), fast_rng).astype(
-        x.dtype
-    )
     p = b // 2
-    mask = jnp.pad(seeds, ((0, 0), (p, p), (p, p), (0, 0)))
-    if b % 2 == 0:
+    if b % 2 == 1:
+        # odd b: drawing over the full grid and zeroing the p-wide border is
+        # identical to draw-over-valid-centers + ZeroPad2d(p), but the
+        # borderless formulation lets XLA fuse the PRNG hash + compare +
+        # border mask directly into the expansion's input (no materialized
+        # pad), saving an HBM round trip on the MC hot path.
+        seeds = _bernoulli(key, gamma, (n, h, w, c), fast_rng)
+        rows = jnp.arange(h)[:, None]
+        cols = jnp.arange(w)[None, :]
+        interior = ((rows >= p) & (rows <= h - 1 - p) & (cols >= p) & (cols <= w - 1 - p))
+        mask = (seeds & interior[None, :, :, None]).astype(x.dtype)
+    else:
+        seeds = _bernoulli(key, gamma, (n, h - b + 1, w - b + 1, c), fast_rng).astype(
+            x.dtype
+        )
+        mask = jnp.pad(seeds, ((0, 0), (p, p), (p, p), (0, 0)))
         mask = mask[:, :h, :w, :]  # ZeroPad2d(b//2) then [:-1, :-1] crop
     block = _block_expand_max(mask, b)
     block_mask = 1.0 - block
