@@ -18,7 +18,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from unet_research_tpu.data.dataset import ArrayDataset, load_split
+from unet_research_tpu.data.dataset import load_split
 from unet_research_tpu.models import DropBlockConfig, UNet, canonical_config
 
 

@@ -28,7 +28,6 @@ from unet_research_tpu.cli import common
 from unet_research_tpu.data.loading import batch_iterator
 from unet_research_tpu.evaluation import artifacts
 from unet_research_tpu.evaluation.metrics import final_test_metrics
-from unet_research_tpu.models import UNet
 from unet_research_tpu.uncertainty import MCDropBlockEngine
 from unet_research_tpu.utils.general import create_dir, seed_everything
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from unet_research_tpu.data.drive import DriveImages, load_drive
+from unet_research_tpu.data.drive import load_drive
 from unet_research_tpu.ops.image import rotate_cv2_like, to_gray_rgb
 from unet_research_tpu.utils.general import seed_everything
 

@@ -8,7 +8,6 @@ outputs unchanged.
 
 from __future__ import annotations
 
-import os
 from os.path import join
 
 import matplotlib

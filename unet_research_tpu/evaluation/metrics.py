@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 from os.path import join
-from typing import Iterable, Optional
+from typing import Optional
 
 import numpy as np
 import pandas as pd

@@ -34,7 +34,6 @@ Differences by design (TPU-native, not a port):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn

@@ -32,7 +32,7 @@ from unet_research_tpu.ops.losses import masked_rescaled_bce
 from unet_research_tpu.train.checkpoint import BestCheckpointKeeper
 from unet_research_tpu.train.policies import ResizePolicy
 from unet_research_tpu.train.schedule import EarlyStopping, ReduceLROnPlateau
-from unet_research_tpu.train.state import TrainState, create_train_state, get_lr
+from unet_research_tpu.train.state import TrainState, create_train_state
 from unet_research_tpu.data.dataset import ArrayDataset
 from unet_research_tpu.data.loading import batch_iterator
 

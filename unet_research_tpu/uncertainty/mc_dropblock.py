@@ -12,7 +12,6 @@ unbiased std of the masked segmentations.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

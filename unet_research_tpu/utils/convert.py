@@ -27,7 +27,6 @@ torch's stamp orientation (models/unet.py). PL prefixes ('_model.',
 
 from __future__ import annotations
 
-import re
 from typing import Any, Mapping
 
 import numpy as np
