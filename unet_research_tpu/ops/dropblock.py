@@ -84,9 +84,12 @@ def _block_expand_max(mask: jax.Array, block_size: int) -> jax.Array:
     """
     b = block_size
     p = b // 2
+    # int8 {0,1} masks halve the expansion's HBM traffic vs bf16 and use the
+    # finite dtype-min as the max identity; float inputs keep -inf
+    init = jnp.iinfo(mask.dtype).min if jnp.issubdtype(mask.dtype, jnp.integer) else -jnp.inf
     out = lax.reduce_window(
         mask,
-        -jnp.inf,
+        jnp.asarray(init, mask.dtype),
         lax.max,
         window_dimensions=(1, b, 1, 1),
         window_strides=(1, 1, 1, 1),
@@ -96,7 +99,7 @@ def _block_expand_max(mask: jax.Array, block_size: int) -> jax.Array:
         out = out[:, : mask.shape[1], :, :]
     out = lax.reduce_window(
         out,
-        -jnp.inf,
+        jnp.asarray(init, mask.dtype),
         lax.max,
         window_dimensions=(1, 1, b, 1),
         window_strides=(1, 1, 1, 1),
@@ -136,7 +139,7 @@ def dropblock_dependent(
         rows = jnp.arange(h)[:, None]
         cols = jnp.arange(w)[None, :]
         interior = ((rows >= p) & (rows <= h - 1 - p) & (cols >= p) & (cols <= w - 1 - p))
-        mask = (seeds & interior[None, :, :, None]).astype(x.dtype)
+        mask = (seeds & interior[None, :, :, None]).astype(jnp.int8)
     else:
         seeds = _bernoulli(key, gamma, (n, h - b + 1, w - b + 1, c), fast_rng).astype(
             x.dtype
@@ -144,7 +147,10 @@ def dropblock_dependent(
         mask = jnp.pad(seeds, ((0, 0), (p, p), (p, p), (0, 0)))
         mask = mask[:, :h, :w, :]  # ZeroPad2d(b//2) then [:-1, :-1] crop
     block = _block_expand_max(mask, b)
-    block_mask = 1.0 - block
+    if jnp.issubdtype(block.dtype, jnp.integer):
+        block_mask = (jnp.int8(1) - block).astype(x.dtype)
+    else:
+        block_mask = (1.0 - block).astype(x.dtype)
     # data-dependent rescale accumulated in f32 (bf16 sums of ~1e6 elements
     # would corrupt the scale)
     scale = block_mask.size / jnp.sum(block_mask.astype(jnp.float32))
