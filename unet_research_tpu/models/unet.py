@@ -65,10 +65,10 @@ class DropBlockConfig:
     max_drop_prob: float = 0.2
     nr_steps: int = 500
     # The fused Pallas kernel is correct and available, but the tuned XLA
-    # path (hash PRNG + separable reduce_window, ops/dropblock.py) currently
-    # measures faster end-to-end on v5e (61 vs 52 MC passes/s at 584x565);
+    # path (hash PRNG + fused int8 mask pipeline, ops/dropblock.py) currently
+    # measures faster end-to-end on v5e (97 vs 52 MC passes/s at 584x565);
     # the kernel's mask pipeline is VPU-bound at C<128 lane utilization.
-    # Flip per-model when that changes.
+    # Flip per-model when that changes (PERF.md round-2 queue).
     use_pallas: bool = False
 
 
