@@ -54,3 +54,17 @@ def test_full_report(tmp_path):
     assert exists(join(out, "all_metrics.csv"))
     data = load_matrix_tensors(root, ["BM-1", "MF-1"])
     assert set(data["metrics"]["name"]) == {"BM-1", "MF-1"}
+
+
+def test_did_overlay(tmp_path):
+    root = _fake_results(tmp_path / "runs", models=("BM-1",))
+    # add a dependent-variant run next to the independent one
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        d = tmp_path / "runs" / "BM-1" / "dropblock_uncertainty_dep" / "tensors" / f"image_{i}"
+        d.mkdir(parents=True)
+        torch.save(torch.from_numpy(rng.random((1, 1, 16, 16)).astype(np.float32) * 0.3), d / "std.pt")
+        torch.save(torch.from_numpy(rng.random((1, 1, 16, 16)).astype(np.float32)), d / "mean.pt")
+    out = str(tmp_path / "density")
+    create_density_report(str(tmp_path / "runs"), out, models=["BM-1"], kinds=("std", "did"))
+    assert exists(join(out, "All_Models", "BM-1_DvUD_STD.png"))

@@ -247,6 +247,14 @@ def load_matrix_tensors(results_root: str, models=MODELS):
         out["std_db"][model] = extract_tensors(join(path, "dropblock_uncertainty", "tensors"), "std.pt")
         out["mean_rot"][model] = extract_tensors(join(path, "rotation_uncertainty"), "mean.pt")
         out["std_rot"][model] = extract_tensors(join(path, "rotation_uncertainty"), "std.pt")
+        # dependent-variant run (create_density_DID's comparison set), when a
+        # second dropblock run without -independent_drop was saved alongside
+        out.setdefault("mean_db_dep", {})[model] = extract_tensors(
+            join(path, "dropblock_uncertainty_dep", "tensors"), "mean.pt"
+        )
+        out.setdefault("std_db_dep", {})[model] = extract_tensors(
+            join(path, "dropblock_uncertainty_dep", "tensors"), "std.pt"
+        )
     if frames:
         out["metrics"] = pd.concat(frames)
     return out
@@ -296,6 +304,29 @@ def create_density_report(results_root: str, save_path: str, aug_root: str | Non
                        f"{group_name} DB CV", all_dir)
             cv_density(group, data["std_rot"], data["mean_rot"], masks, (0, 5), 1000,
                        f"{group_name} ROT CV", all_dir)
+
+    if "did" in kinds:
+        # dependent-vs-independent overlays (create_density_DID.py): for each
+        # model with both dropblock runs, overlay the two STD KDEs
+        for model in models:
+            indep = data["std_db"].get(model, {})
+            dep = data.get("std_db_dep", {}).get(model, {})
+            if not indep or not dep:
+                continue
+            fig, ax = plt.subplots(1, 1, figsize=(15, 10))
+            for label, d, style in (("independent", indep, "-"), ("dependent", dep, "--")):
+                vals = np.concatenate([v.flatten() for v in d.values()])
+                vals = vals[vals > 0.01]
+                if vals.size < 2:
+                    continue
+                xs, dens = _kde_curve(vals, (0, 0.5), 1000)
+                ax.plot(xs, dens, style, label=label, alpha=0.7, linewidth=1.5)
+            ax.legend(frameon=False)
+            ax.set_xlabel("STD")
+            ax.set_ylabel("Density")
+            fig.suptitle(f"{model} DvUD STD")
+            fig.savefig(join(all_dir, f"{model}_DvUD_STD.png"))
+            plt.close(fig)
 
     if not data["metrics"].empty:
         data["metrics"].to_csv(join(save_path, "all_metrics.csv"), index=False)
