@@ -56,6 +56,33 @@ def test_full_report(tmp_path):
     assert set(data["metrics"]["name"]) == {"BM-1", "MF-1"}
 
 
+def test_hist_battery(tmp_path):
+    """The masked/dilated/inverse-dilated histogram battery
+    (create_density_STD.py:172-311) renders from matrix outputs + aug data."""
+    from PIL import Image
+
+    root = _fake_results(tmp_path / "runs", models=("BM-1",))
+    aug = tmp_path / "aug" / "val"
+    (aug / "masks").mkdir(parents=True)
+    (aug / "targets").mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    for i in range(2):
+        mask = np.full((16, 16), 255, np.uint8)
+        mask[:2] = 0  # some non-FOV border
+        Image.fromarray(mask).save(aug / "masks" / f"{i}_mask.png")
+        target = (rng.random((16, 16)) > 0.7).astype(np.uint8) * 255
+        Image.fromarray(target).save(aug / "targets" / f"{i}_target.png")
+
+    out = str(tmp_path / "density")
+    create_density_report(str(tmp_path / "runs"), out, aug_root=str(tmp_path / "aug"),
+                          models=["BM-1"], kinds=("hist",))
+    hd = join(out, "Histograms")
+    for name in ("CV_Histogram_BM-1.png", "STD_Dilated_Histogram_BM-1.png",
+                 "CV_Dilated_Histogram_BM-1.png", "STD_InvDilated_Histogram_BM-1.png",
+                 "CV_InvDilated_Histogram_BM-1.png"):
+        assert exists(join(hd, name)), name
+
+
 def test_did_overlay(tmp_path):
     root = _fake_results(tmp_path / "runs", models=("BM-1",))
     # add a dependent-variant run next to the independent one

@@ -91,6 +91,53 @@ def test_graft_entry_compiles_small():
     assert out.shape == (1, 37, 29, 1)
 
 
+@pytest.mark.parametrize("chunk", [8, 16, 32])
+def test_mc_engine_sharded_chunk_sweep(chunk):
+    """VERDICT r1 item 10: the sharded ensemble's mean/std match the
+    single-device run to f32 for every chunk size whose per-device share
+    divides evenly (chunk/8 in {1, 2, 4}), and the chunk->device split is
+    exact (no ragged remainder on the 'data' axis)."""
+    from unet_research_tpu.models import DropBlockConfig, UNet, UNetConfig, canonical_config
+    from unet_research_tpu.uncertainty import MCDropBlockEngine
+
+    cfg = canonical_config(filters=4)
+    cfg = UNetConfig(
+        **{
+            **cfg.__dict__,
+            "group_norm_groups": 2,
+            "model_depth": 2,
+            "dropblock": DropBlockConfig(kind="independent", block_size=3, use_scheduler=False),
+        }
+    )
+    model = UNet(cfg)
+    mesh = make_mesh(data=8)
+    assert chunk % mesh.shape["data"] == 0  # per-device share is integral
+
+    rng = np.random.default_rng(1)
+    im = jnp.asarray(rng.random((1, 24, 24, 1), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), im)["params"]
+    ones = jnp.ones_like(im)
+    e_sharded = MCDropBlockEngine(model, num_iterations=2 * chunk, return_num=0,
+                                  chunk=chunk, mesh=mesh)
+    e_single = MCDropBlockEngine(model, num_iterations=2 * chunk, return_num=0,
+                                 chunk=chunk)
+    key = jax.random.PRNGKey(5)
+    m1, s1, *_ = e_sharded.predict(params, im, im, ones, key, 0.15)
+    m2, s2, *_ = e_single.predict(params, im, im, ones, key, 0.15)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-6)
+
+
+def test_mc_engine_rejects_indivisible_chunk():
+    from unet_research_tpu.models import UNet, canonical_config
+    from unet_research_tpu.uncertainty import MCDropBlockEngine
+
+    model = UNet(canonical_config(filters=4, model_depth=2, group_norm_groups=2))
+    mesh = make_mesh(data=8)
+    with pytest.raises(ValueError):
+        MCDropBlockEngine(model, num_iterations=16, chunk=12, mesh=mesh)
+
+
 def test_mc_engine_sharded_over_mesh():
     """MC ensemble with the chunk batch sharded over 8 devices matches the
     single-device result (mask streams derive from the batch index, so the

@@ -3,7 +3,7 @@ its three analysis payload scripts, consolidated).
 
 Usage:
   python -m unet_research_tpu.cli.create_density -results_root RUNS \
-      -save_path RUNS/density [-aug_root AUG] [-kinds std,cv] [-models BM-1,...]
+      -save_path RUNS/density [-aug_root AUG] [-kinds std,cv,hist] [-models BM-1,...]
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ def main(argv=None):
     parser.add_argument("-save_path", dest="save_path", required=True)
     parser.add_argument("-aug_root", dest="aug_root", default=None,
                         help="augmented data root (for FOV masks in CV plots)")
-    parser.add_argument("-kinds", dest="kinds", default="std,cv")
+    parser.add_argument("-kinds", dest="kinds", default="std,cv,hist")
     parser.add_argument("-models", dest="models", default=",".join(MODELS))
     args, _ = parser.parse_known_args(argv)
     create_density_report(

@@ -161,7 +161,7 @@ def stage_uncertainty(args, models):
 
 
 def stage_density(args, models):
-    kinds = "std,cv,did" if args.with_dependent else "std,cv"
+    kinds = "std,cv,hist,did" if args.with_dependent else "std,cv,hist"
     argv = [
         "-results_root", args.out_root,
         "-save_path", join(args.out_root, "density"),

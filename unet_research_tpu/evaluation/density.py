@@ -194,33 +194,106 @@ def calculate_magnitudes(std_dicts: dict) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def dilated_hist(std_map: np.ndarray, target: np.ndarray, save_to: str, title: str,
-                 rnge=(0, 0.5), inverse=False, mask: np.ndarray | None = None):
-    """STD histogram over the (inverse-)dilated vessel region
-    (create_density_STD.py:212-311). The reference erodes the INVERTED
-    target with a 3x3 kernel to get a dilated vessel mask."""
+def _dilated_region(shape_hw, target: np.ndarray, inverse: bool,
+                    mask: np.ndarray | None) -> np.ndarray:
+    """Boolean selector for the (inverse-)dilated vessel region
+    (create_density_STD.py:212-311): the reference erodes the INVERTED
+    target with a 3x3 kernel, keeping pixels where the eroded map is 0
+    (np.ma masks nonzero); the inverse battery keeps the FOV background
+    instead (inv = 1 - mask*dilated, keep where 0)."""
     import cv2
 
     t = target
-    if t.shape != std_map.shape:
-        t = cv2.resize(t, (std_map.shape[1], std_map.shape[0]), interpolation=cv2.INTER_NEAREST)
+    if t.shape != shape_hw:
+        t = cv2.resize(t, (shape_hw[1], shape_hw[0]), interpolation=cv2.INTER_NEAREST)
     inv_target = (255 - t).astype(np.uint8)
     dilated = cv2.erode(inv_target, np.ones((3, 3), np.uint8))
     if inverse:
         m = mask
         if m is None:
-            m = np.ones_like(dilated)
-        elif m.shape != std_map.shape:
-            m = cv2.resize(m, (std_map.shape[1], std_map.shape[0]), interpolation=cv2.INTER_NEAREST)
-        sel = (1 - ((m > 0) & (dilated > 0)).astype(np.uint8)) == 0
-    else:
-        sel = dilated == 0  # np.ma masks where nonzero; data kept where 0
+            m = np.ones(shape_hw, np.uint8)
+        elif m.shape != shape_hw:
+            m = cv2.resize(m, (shape_hw[1], shape_hw[0]), interpolation=cv2.INTER_NEAREST)
+        return (m > 0) & (dilated > 0)
+    return dilated == 0
+
+
+def dilated_hist(std_map: np.ndarray, target: np.ndarray, save_to: str, title: str,
+                 rnge=(0, 0.5), inverse=False, mask: np.ndarray | None = None):
+    """Single-image STD histogram over the (inverse-)dilated vessel region."""
+    sel = _dilated_region(std_map.shape, target, inverse, mask)
     data = std_map[sel]
     fig, ax = plt.subplots(1, 1)
     ax.hist(data, bins="auto", range=rnge, density=True)
     fig.suptitle(title)
     fig.savefig(save_to)
     plt.close(fig)
+
+
+def _save_hist(data: np.ndarray, rnge, title: str, save_to: str):
+    fig, ax = plt.subplots(1, 1)
+    ax.hist(data, bins="auto", range=rnge, density=True)
+    fig.suptitle(title)
+    fig.savefig(save_to)
+    plt.close(fig)
+
+
+def hist_battery(models, std_data, mean_data, targets, masks, save_path) -> None:
+    """The reference's per-model aggregate histogram battery
+    (create_density_STD.py:172-311): FOV-masked CV histogram
+    (display_agg_CV_hist), dilated-vessel STD/CV histograms
+    (dilated_agg_std_hist / dilated_agg_cv_hist), and the inverse-dilated
+    (FOV background) variants. One filename per plot — the reference's
+    inverse variants overwrote the dilated ones ('STD_Dilated_Histogram',
+    create_density_STD.py:296), which we keep distinct as
+    'STD_InvDilated_Histogram' etc."""
+    os.makedirs(save_path, exist_ok=True)
+    for model in models:
+        stds = std_data.get(model) or {}
+        means = mean_data.get(model) or {}
+        if not stds:
+            continue
+
+        # FOV-masked CV histogram (display_agg_CV_hist)
+        cv_chunks = []
+        for i, std in stds.items():
+            if i not in means or not masks or i not in masks:
+                continue
+            s = _fov_values(std[0, 0], masks[i])
+            m = _fov_values(means[i][0, 0], masks[i])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cv = s / m
+            cv_chunks.append(cv[~np.isnan(cv)])
+        if cv_chunks:
+            _save_hist(np.concatenate(cv_chunks), (0, 5), f"{model} DB CV",
+                       join(save_path, f"CV_Histogram_{model}.png"))
+
+        if not targets:
+            continue
+        for inverse, tag in ((False, "Dilated"), (True, "InvDilated")):
+            std_chunks, cvn_chunks, cvd_chunks = [], [], []
+            for i, std in stds.items():
+                if i not in targets:
+                    continue
+                s2d = std[0, 0]
+                sel = _dilated_region(s2d.shape, targets[i], inverse,
+                                      masks.get(i) if masks else None)
+                std_chunks.append(s2d[sel])
+                if i in means:
+                    cvn_chunks.append(s2d[sel])
+                    cvd_chunks.append(means[i][0, 0][sel])
+            if std_chunks:
+                _save_hist(np.concatenate(std_chunks), (0, 0.5),
+                           f"{model} {tag} STD",
+                           join(save_path, f"STD_{tag}_Histogram_{model}.png"))
+            if cvd_chunks:
+                num = np.concatenate(cvn_chunks)
+                den = np.concatenate(cvd_chunks)
+                # zero-mean guard (dilated_agg_cv_hist: both -> 1e-8)
+                num = np.where(den == 0, 1e-8, num)
+                den = np.where(den == 0, 1e-8, den)
+                _save_hist(num / den, (0, 5), f"{model} {tag} CV",
+                           join(save_path, f"CV_{tag}_Histogram_{model}.png"))
 
 
 def load_matrix_tensors(results_root: str, models=MODELS):
@@ -261,12 +334,14 @@ def load_matrix_tensors(results_root: str, models=MODELS):
 
 
 def create_density_report(results_root: str, save_path: str, aug_root: str | None = None,
-                          models=MODELS, kinds=("std", "cv")) -> None:
+                          models=MODELS, kinds=("std", "cv", "hist")) -> None:
     """Render the full plot battery the reference's qsub'd density jobs
     produce (create_density.py:3-5): grouped STD KDEs for DB + ROT,
-    per-model single densities, magnitude table, CV densities."""
+    per-model single densities, magnitude table, CV densities, and (with
+    aug_root) the masked/dilated/inverse-dilated histogram battery."""
     data = load_matrix_tensors(results_root, models)
     masks = {}
+    targets = {}
     if aug_root:
         from PIL import Image
 
@@ -274,6 +349,10 @@ def create_density_report(results_root: str, save_path: str, aug_root: str | Non
         if exists(mask_dir):
             for f in os.listdir(mask_dir):
                 masks[int(f.split("_")[0])] = np.array(Image.open(join(mask_dir, f)).convert("L"))
+        target_dir = join(aug_root, "val", "targets")
+        if exists(target_dir):
+            for f in os.listdir(target_dir):
+                targets[int(f.split("_")[0])] = np.array(Image.open(join(target_dir, f)).convert("L"))
 
     all_dir = join(save_path, "All_Models")
     single_dir = join(save_path, "Single_Models")
@@ -304,6 +383,10 @@ def create_density_report(results_root: str, save_path: str, aug_root: str | Non
                        f"{group_name} DB CV", all_dir)
             cv_density(group, data["std_rot"], data["mean_rot"], masks, (0, 5), 1000,
                        f"{group_name} ROT CV", all_dir)
+
+    if "hist" in kinds:
+        hist_battery(models, data["std_db"], data["mean_db"], targets, masks,
+                     join(save_path, "Histograms"))
 
     if "did" in kinds:
         # dependent-vs-independent overlays (create_density_DID.py): for each

@@ -33,9 +33,16 @@ import numpy as np
 
 
 def _normalize_key(k: str) -> str:
-    for prefix in ("_model.", "model."):
-        if k.startswith(prefix):
-            k = k[len(prefix):]
+    # strip nested wrapper prefixes: a PL ckpt of the reference holds the
+    # UNet at '_model.' inside UNetTraining (utils_training.py:12), itself
+    # possibly under 'model.' in subclasses — strip until none match
+    stripped = True
+    while stripped:
+        stripped = False
+        for prefix in ("_model.", "model."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+                stripped = True
     return k.replace(".module.", ".").replace("module.", "")
 
 
