@@ -137,3 +137,53 @@ def test_linear_drop_prob_schedule():
     jitted = jax.jit(lambda s: linear_drop_prob(s, 0.0, 0.15, 1500))
     assert float(jitted(1499)) == pytest.approx(0.15)
     assert float(jitted(5000)) == pytest.approx(0.15)
+
+
+def test_bitplane_expansion_matches_dense_maxpool():
+    # pack a known random seed pattern into H-axis bit-planes, expand with
+    # the word-shift machinery, unpack, and compare against the dense
+    # stride-1 max-pool expansion of the same seeds
+    from unet_research_tpu.ops.dropblock import (
+        _block_expand_max,
+        _expand_planes,
+        apply_bitplane_mask,
+    )
+
+    rng = np.random.default_rng(3)
+    n, h, w, c, b = 2, 45, 37, 3, 7
+    p = b // 2
+    seeds = rng.random((n, h, w, c)) < 0.01
+    seeds[:, :p] = seeds[:, h - p:] = 0
+    seeds[:, :, :p] = seeds[:, :, w - p:] = 0
+
+    hg = -(-h // 32)
+    packed = np.zeros((n, hg, w, c), np.uint32)
+    for q in range(h):
+        packed[:, q // 32] |= seeds[:, q].astype(np.uint32) << np.uint32(q % 32)
+    planes = _expand_planes(jnp.asarray(packed.view(np.int32)), p, hg)
+
+    ones = jnp.ones((n, h, w, c), jnp.float32)
+    kept = np.asarray(apply_bitplane_mask(ones, planes, 1.0))
+    dense = np.asarray(
+        _block_expand_max(jnp.asarray(seeds, jnp.int8), b)
+    ).astype(bool)
+    np.testing.assert_array_equal(kept == 0.0, dense)
+
+
+def test_bitplane_and_elementwise_paths_agree_statistically():
+    import os
+
+    x = jnp.ones((4, 64, 64, 8))
+    key = jax.random.PRNGKey(5)
+    out_el = np.asarray(dropblock_dependent(x, key, 0.15, 7))
+    os.environ["UNET_DB_BITPLANE"] = "1"
+    try:
+        out_bp = np.asarray(dropblock_dependent(x, key, 0.15, 7))
+    finally:
+        del os.environ["UNET_DB_BITPLANE"]
+    # same target drop rate from either pipeline (different RNG streams)
+    assert abs((out_bp == 0).mean() - (out_el == 0).mean()) < 0.05
+    # both rescale kept values to numel/sum
+    for out in (out_bp, out_el):
+        kept = out[out > 0]
+        np.testing.assert_allclose(kept, out.size / np.count_nonzero(out), rtol=1e-3)

@@ -90,9 +90,12 @@ def test_rotational_engine_zero_variance_for_invariant_model():
 
 
 def test_rotational_engine_matches_serial_loop():
-    # chunked vmapped ensemble == explicit serial loop over the same angles
-    from unet_research_tpu.ops.image import rotate_bilinear
+    # chunked batched ensemble == explicit serial loop over the same angles
+    # (the serial reference composes the SAME shear warp the engine uses,
+    # one angle at a time — this pins the chunking/statistics machinery)
+    from unet_research_tpu.ops.pallas.shear_rotate import rotate_fan
 
+    interp = jax.default_backend() not in ("tpu", "axon")
     model, params = _small_model(dropblock_kind=None)
     engine = RotationalEngine(model, num_iterations=6, return_num=0, chunk=4)
     rng = np.random.default_rng(0)
@@ -102,8 +105,10 @@ def test_rotational_engine_matches_serial_loop():
 
     outs = []
     for a in range(1, 7):
-        seg = model.apply({"params": params}, rotate_bilinear(im, float(a)))
-        outs.append(np.asarray(rotate_bilinear(seg, -float(a)) * mask))
+        rot = rotate_fan(im, jnp.asarray([float(a)]), interpret=interp)
+        seg = model.apply({"params": params}, rot)
+        outs.append(np.asarray(
+            rotate_fan(seg, jnp.asarray([-float(a)]), interpret=interp) * mask))
     outs = np.stack([o[0] for o in outs])
     # tolerance: batched (vmapped) conv reductions reassociate vs the serial
     # loop; GroupNorm amplifies the fp32 noise to ~1e-3

@@ -64,11 +64,14 @@ class DropBlockConfig:
     start_drop_prob: float = 0.0
     max_drop_prob: float = 0.2
     nr_steps: int = 500
-    # The fused Pallas kernel is correct and available, but the tuned XLA
-    # path (hash PRNG + fused int8 mask pipeline, ops/dropblock.py) currently
-    # measures faster end-to-end on v5e (97 vs 52 MC passes/s at 584x565);
-    # the kernel's mask pipeline is VPU-bound at C<128 lane utilization.
-    # Flip per-model when that changes (PERF.md round-2 queue).
+    # True routes the conv epilogue (GroupNorm -> dropblock -> ReLU) to the
+    # fused two-phase Pallas kernel (ops/pallas/fused_gn_dropblock.py) and
+    # SkipMerge sites to the standalone bit-packed kernel. Both are correct
+    # and TPU-tested, but the pure-XLA bit-plane pipeline (ops/dropblock.py)
+    # currently measures fastest end-to-end on v5e (the custom-call boundary
+    # denies XLA the epilogue fusion that the jnp formulation gets for
+    # free), so the default stays False. See PERF.md for the measured
+    # ladder.
     use_pallas: bool = False
 
 
@@ -166,6 +169,20 @@ def transpose_kernel_init(out_ch: int, kh: int, kw: int):
     return init
 
 
+class _GNParams(nn.Module):
+    """GroupNorm's parameter tree ('scale'/'bias' of shape (C,), ones/zeros
+    init) without its computation — the fused Pallas epilogue consumes the
+    raw params, and checkpoints stay interchangeable with nn.GroupNorm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class _Layers(nn.Module):
     """Shared helpers: norm / activation / dropblock application."""
 
@@ -189,6 +206,51 @@ class _Layers(nn.Module):
                 name=name,
             )(x)
         raise ValueError(f"unknown norm {self.cfg.norm}")
+
+    def _norm_db_act(self, x, drop_prob, idx: int):
+        """The conv epilogue norm -> dropblock -> act (reference conv block
+        order, utils_unet.py:215-258). On TPU with `use_pallas` this runs as
+        ONE fused two-phase Pallas kernel (ops/pallas/fused_gn_dropblock.py):
+        GroupNorm already pays a stats pass + an apply pass over HBM, and the
+        bit-packed dropblock mask is generated inside those passes, so the
+        mask costs no extra HBM traffic on the MC hot loop."""
+        cfg = self.cfg
+        db = cfg.dropblock
+        fuse = (
+            db.use_pallas
+            and db.kind is not None
+            and drop_prob is not None
+            and cfg.norm == "group"
+            and cfg.activation == "relu"
+            and _pallas_ok(db.block_size)
+            and x.shape[-1] % cfg.group_norm_groups == 0
+        )
+        if not fuse:
+            x = self._norm(x, name=f"norm{idx}")
+            x = self._dropblock(x, drop_prob)
+            return self._act(x)
+
+        from unet_research_tpu.ops.dropblock import (
+            dropblock_gamma_dependent,
+            dropblock_gamma_independent,
+        )
+        from unet_research_tpu.ops.pallas.fused_gn_dropblock import (
+            gn_dropblock_relu_ad,
+        )
+
+        scale, bias = _GNParams(x.shape[-1], name=f"norm{idx}")()
+        key = self.make_rng("dropblock")
+        h, w = x.shape[-3], x.shape[-2]
+        if db.kind == "dependent":
+            gamma = dropblock_gamma_dependent(h, w, db.block_size, drop_prob)
+            guard = False
+        else:
+            gamma = dropblock_gamma_independent(h, w, db.block_size, drop_prob)
+            guard = True
+        return gn_dropblock_relu_ad(
+            x, scale, bias, key, gamma,
+            cfg.group_norm_groups, db.block_size, guard,
+        )
 
     def _dropblock(self, x, drop_prob):
         """Apply dropblock when a drop_prob is threaded in (drop_prob=None is
@@ -284,9 +346,7 @@ class ConvBlock(_Layers):
     def __call__(self, x, drop_prob=None):
         for i, feats in enumerate(self.features):
             x = self._conv(x, feats, name=f"conv{i}")
-            x = self._norm(x, name=f"norm{i}")
-            x = self._dropblock(x, drop_prob)
-            x = self._act(x)
+            x = self._norm_db_act(x, drop_prob, i)
         return x
 
 

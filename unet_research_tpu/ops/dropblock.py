@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -70,6 +71,186 @@ def _bernoulli(key, gamma, shape, fast_rng: bool):
     if fast_rng:
         return _hash_uniform(key, shape) < gamma
     return jax.random.bernoulli(key, gamma, shape=shape)
+
+
+# --- bit-plane mask pipeline ---------------------------------------------------
+#
+# The mask math (Bernoulli seeds, border zeroing, b x b max-pool expansion,
+# keep-count) runs on int32 BIT-PLANES packed along the HEIGHT axis: bit t
+# of word g holds mask row h = g*32 + t, so every vector op processes 32
+# mask positions. The Bernoulli draw uses a bitwise MSB-first 'U < gamma'
+# comparator on hashed word streams (KBITS rounds of ~6 word-ops decide all
+# 32 positions at once, quantizing gamma to multiples of 2^-KBITS); the
+# expansion is ORs of across-word funnel shifts (H) and row rolls (W).
+# Compared to the elementwise pipeline above (~10 hash ops + 14 expansion
+# taps per element) this is ~10 word-ops per 32 elements for generation.
+#
+# WHY the H axis: the unpack in apply_bitplane_mask is
+# repeat(axis=1) + reshape + per-row bit test. With H-packing the reshape
+# merges dims that lie OUTSIDE the TPU's tiled (second-minor, minor) =
+# (W, C) pair, so it is a layout-preserving bitcast and XLA fuses the whole
+# unpack into the surrounding conv/GroupNorm elementwise epilogue — the
+# expanded mask never exists in HBM. (A width-packed variant was measured
+# first: its (WG, 32)->W merge changes the sublane dim, forcing a 4-byte/
+# element materialization that erased the win.)
+#
+# Everything here is plain jnp on int32: it runs (and is tested) on CPU,
+# vmaps, and differentiates through `where` with no custom VJP.
+#
+# STATUS (v5e, round 2): opt-in via UNET_DB_BITPLANE=1. The unpack fuses to
+# ~zero measured cost and generation is ~10 word-ops/32 positions on paper,
+# but at the canonical C=64 top sites the (..., W, 64)-layout planes leave
+# half the VPU lanes idle during generation, and end-to-end the pipeline
+# measures 89.3 MC passes/s vs 93.6 for the elementwise path above — so the
+# elementwise pipeline stays default. See PERF.md for the ladder.
+
+KBITS = 12  # gamma quantized to n/2^12: <=2% relative at the canonical 3e-3
+
+
+def _hash_words(key: jax.Array, shape, salt: int) -> jax.Array:
+    """Murmur3-style mixed int32 words, coordinate-stable (same family as
+    _hash_uniform but one word per 32 mask positions)."""
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    n = 1
+    for s in shape:
+        n *= s
+    idx = lax.broadcasted_iota(jnp.uint32, (n, 1), 0).reshape(shape)
+    x = idx * jnp.uint32(2654435761) ^ (kd[0] + jnp.uint32(salt) * jnp.uint32(0x9E3779B1))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15) ^ kd[-1]
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x.astype(jnp.int32) if x.dtype != jnp.int32 else x
+
+
+def _seed_planes(key, gamma, shape) -> jax.Array:
+    """int32 Bernoulli(gamma) bit-planes via the bitwise comparator: lt
+    accumulates 'decided below', eq tracks surviving ties.
+
+    Per-round randomness: one murmur-mixed word seeds a per-position
+    xorshift32 stream (3 ops/round instead of 6), which is plenty for mask
+    thinning — the statistical gates in tests/test_dropblock.py hold."""
+    gb = jnp.clip(
+        jnp.round(jnp.asarray(gamma, jnp.float32) * (1 << KBITS)),
+        0, (1 << KBITS) - 1,
+    ).astype(jnp.int32)
+    state = _hash_words(key, shape, salt=0x5EED)
+    lt = jnp.zeros(shape, jnp.int32)
+    eq = jnp.full(shape, -1, jnp.int32)
+    for i in range(KBITS):
+        state = state ^ lax.shift_left(state, jnp.int32(13))
+        state = state ^ lax.shift_right_logical(state, jnp.int32(17))
+        state = state ^ lax.shift_left(state, jnp.int32(5))
+        r = state
+        gbit = (gb >> (KBITS - 1 - i)) & 1
+        gmask = -gbit  # 0 or all-ones scalar
+        lt = lt | (eq & ~r & gmask)  # tie and u_i=0 < g_i=1: decided
+        eq = eq & (r ^ ~gmask)  # tie survives where u_i == g_i
+    return lt
+
+
+def _word_shift(a: jax.Array, s: int, hg: int) -> jax.Array:
+    """Height shift on packed bit-planes along axis 1: position q picks up
+    position q+s. Bit t of word g holds q = g*32 + t, so a shift by s is a
+    funnel shift across word neighbors."""
+    if s == 0:
+        return a
+    gs, tb = divmod(s, 32)  # python floor-div: tb in [0, 32)
+
+    def word(j):
+        # neighbor word g+j, zero beyond the edge
+        if j == 0:
+            return a
+        if abs(j) >= hg:
+            return jnp.zeros_like(a)
+        pad = jnp.zeros_like(a[:, :1])
+        if j > 0:
+            return jnp.concatenate([a[:, j:]] + [pad] * j, axis=1)
+        return jnp.concatenate([pad] * (-j) + [a[:, :j]], axis=1)
+
+    lo = word(gs)
+    if tb == 0:
+        return lo
+    hi = word(gs + 1)
+    # logical funnel: bit t of out = bit t+tb of lo (t+tb<32) else
+    # bit t+tb-32 of hi
+    lo_u = lax.shift_right_logical(lo, jnp.int32(tb))
+    hi_u = lax.shift_left(hi, jnp.int32(32 - tb))
+    return lo_u | hi_u
+
+
+def _expand_planes(seeds: jax.Array, p: int, hg: int) -> jax.Array:
+    """Separable (2p+1) x (2p+1) OR-expansion of seed planes (N,HG,W,C):
+    funnel word-shifts along packed H, rolls along W."""
+    acc = seeds
+    for d in range(1, p + 1):
+        acc = acc | jnp.roll(seeds, d, axis=2) | jnp.roll(seeds, -d, axis=2)
+    # columns rolled across the canvas edge carry seeds the interior column
+    # mask zeroed anyway (odd-b draws exclude the border), so roll is safe;
+    # height shifts are edge-zeroed in _word_shift.
+    out = acc
+    for s in range(1, p + 1):
+        out = out | _word_shift(acc, s, hg) | _word_shift(acc, -s, hg)
+    return out
+
+
+def _word_masks_np(h: int, p: int, hg: int):
+    """(HG,) int32 with bit t of word g set iff q = g*32+t is a valid row
+    in [p, h-1-p] (also zeroes the h..hg*32 packing pad)."""
+    q = np.arange(hg * 32)
+    ok = ((q >= p) & (q <= h - 1 - p)).astype(np.uint64)
+    words = (ok.reshape(hg, 32) << np.arange(32, dtype=np.uint64)).sum(axis=1)
+    return words.astype(np.uint32).view(np.int32)
+
+
+def dropblock_mask_bitplane(
+    key: jax.Array, gamma, shape, block_size: int
+):
+    """Dropped-position bit-planes + keep count for NHWC `shape`.
+
+    Returns (planes, keep): planes (N, HG, W, C) int32 where bit t of word g
+    marks row g*32+t dropped; keep (N,) f32 kept-position counts.
+    Odd block_size only (the canonical configs; even b falls back to the
+    elementwise path in the callers).
+    """
+    n, h, w, c = shape
+    b = block_size
+    p = b // 2
+    hg = -(-h // 32)
+    seeds = _seed_planes(key, gamma, (n, hg, w, c))
+    cols = jnp.arange(w, dtype=jnp.int32).reshape(1, 1, w, 1)
+    col_ok = jnp.where((cols >= p) & (cols <= w - 1 - p), -1, 0)
+    interior = jnp.asarray(_word_masks_np(h, p, hg)).reshape(1, hg, 1, 1)
+    seeds = seeds & col_ok & interior
+    planes = _expand_planes(seeds, p, hg)
+    cover = jnp.asarray(_word_masks_np(h, 0, hg)).reshape(1, hg, 1, 1)
+    planes = planes & cover
+    # materialize the word-level planes: without the barrier XLA fuses this
+    # whole producer chain into the per-ELEMENT unpack consumer, recomputing
+    # the word ops 32x (measured: +4.5 ms/chunk at the top U-Net site). The
+    # planes array is 1/8 the bytes of x — reading it back is ~free.
+    planes = lax.optimization_barrier(planes)
+    dropped = jnp.sum(
+        lax.population_count(planes).astype(jnp.float32), axis=(1, 2, 3)
+    )
+    return planes, float(h * w * c) - dropped
+
+
+def apply_bitplane_mask(x: jax.Array, planes: jax.Array, scale) -> jax.Array:
+    """x * keep * scale from bit-planes.
+
+    The unpack is repeat along the PACKED H axis + reshape + per-row bit
+    test: the reshape merges dims outside the TPU-tiled (W, C) pair (a
+    bitcast), and the bit test is elementwise — XLA fuses the whole thing
+    into neighboring epilogues. scale: (N,) or scalar, pre-divided."""
+    n, h, w, c = x.shape
+    hg = planes.shape[1]
+    rep = jnp.repeat(planes, 32, axis=1)[:, :h]  # word of row q at row q
+    tbit = (jnp.arange(h, dtype=jnp.int32) % 32).reshape(1, h, 1, 1)
+    dropped = lax.shift_right_logical(rep, tbit) & 1
+    sc = jnp.asarray(scale, jnp.float32).reshape(-1, 1, 1, 1).astype(x.dtype)
+    return jnp.where(dropped != 0, jnp.zeros((), x.dtype), x * sc)
 
 
 def _block_expand_max(mask: jax.Array, block_size: int) -> jax.Array:
@@ -125,10 +306,20 @@ def dropblock_dependent(
     drop_prob may be a traced scalar: at p=0 the math degrades to identity
     (all-ones block mask, scale 1), so no dynamic branch is needed under jit.
     """
+    import os
+
     n, h, w, c = x.shape
     b = block_size
     gamma = dropblock_gamma_dependent(h, w, b, drop_prob)
     p = b // 2
+    if b % 2 == 1 and fast_rng and os.environ.get("UNET_DB_BITPLANE"):
+        # bit-plane pipeline (module comment above): word ops for the mask
+        # math, elementwise unpack fused into the consumer by XLA. The
+        # whole-batch numel/sum rescale matches the reference exactly
+        # (utils_modules.py:61-64; at batch 1 they are the same thing).
+        planes, keep = dropblock_mask_bitplane(key, gamma, x.shape, b)
+        scale = (float(n * h * w * c) / jnp.sum(keep)) * jnp.ones((n,), jnp.float32)
+        return apply_bitplane_mask(x, planes, scale)
     if b % 2 == 1:
         # odd b: drawing over the full grid and zeroing the p-wide border is
         # identical to draw-over-valid-centers + ZeroPad2d(p), but the
@@ -169,9 +360,18 @@ def dropblock_independent(
     """
     if block_size % 2 == 0:
         raise ValueError("dropblock_independent requires an odd block_size")
+    import os
+
     n, h, w, c = x.shape
     b = block_size
     gamma = dropblock_gamma_independent(h, w, b, drop_prob)
+    if fast_rng and os.environ.get("UNET_DB_BITPLANE"):
+        # bit-plane pipeline with the ichan variant's guarded 1/mean rescale
+        # over the whole batch (utils_modules.py:133-138)
+        planes, keep = dropblock_mask_bitplane(key, gamma, x.shape, b)
+        keep_frac = jnp.sum(keep) / float(n * h * w * c)
+        scale = jnp.where(keep_frac != 0, 1.0 / keep_frac, 1.0)
+        return apply_bitplane_mask(x, planes, scale * jnp.ones((n,), jnp.float32))
     seeds = _bernoulli(key, gamma, x.shape, fast_rng).astype(x.dtype)
     ex = b // 2
     if ex > 0:

@@ -1,27 +1,52 @@
-"""Fused DropBlock mask generation as a Pallas TPU kernel.
+"""Fused DropBlock mask generation as bit-packed Pallas TPU kernels.
 
-This is the load-bearing optimization of the MC-DropBlock hot loop
-(SURVEY.md §7): the XLA composition (PRNG -> pad -> two stride-1 max pools
--> invert -> apply -> global sum) costs ~8 HBM round trips over every
-dropblock site per forward pass. This kernel does the whole pipeline in one
-pass per tile — hardware PRNG (pltpu.prng_random_bits), in-VMEM separable
-block expansion, mask apply, and per-tile keep-mask partial sums — reading x
-once and writing the masked output once.
+Why bit-packed: the DropBlock pipeline is VPU-compute-bound, not HBM-bound —
+one MC pass of the canonical U-Net touches ~253M mask elements across 22
+dropblock sites, and at the VPU's 8x128 lanes/cycle every vector op per mask
+element costs ~0.25 ms/pass. The XLA composition (ops/dropblock.py) spends
+~12 hash ops + 14 expansion taps per element. Here the whole mask lives as
+int32 bit-planes — 32 mask positions per word — so generation, block
+expansion and the keep-count cost ~1/32nd the vector ops:
+
+- Bernoulli(gamma) seeds are drawn with a bitwise 'U < gamma' comparator:
+  KBITS=16 rounds of hardware PRNG words combine into one seed bit-plane
+  (~5 word-ops/round), quantizing gamma to gamma_bits/2^16 (<=0.5% relative
+  at the canonical gamma~3e-3; exact identity at gamma=0).
+- The separable b x b block expansion is ORs of word-shifted planes
+  (interleaved mapping, below) — ~1 op per mask element total.
+- The per-sample rescale's keep-count is a popcount over words.
+
+Two phases (each regenerates the identical mask from strip-seeded streams):
+phase 1 (`_sum_kernel`) emits only per-tile keep counts — no tensor I/O;
+phase 2 (`_apply_kernel`) reads x once and writes x * keep * scale once.
+
+Bit<->position mapping (interleaved): bit t of word g holds width position
+q = t*WG + g (WG words of 32 bits cover W; lanes carry C). This makes
+unpacking a single `pltpu.repeat` (tile semantics: output sublane
+q = t*WG + g is copy t of word g) plus an AND with a per-sublane bit mask.
+A shift by k positions decomposes into a sublane shift of k%WG plus a
+logical bit-shift of k//WG (with a carry select at the word-wrap boundary).
+
+(An earlier variant lane-folded W-parity into the lane dim at C=64 to fill
+all 128 VPU lanes during generation; it measured *slower* end-to-end —
+62.8 vs 68.6 MC passes/s — because the (N,H,W//2,2C) view of x forces a
+physical relayout at every C=64 site. Generation is cheap either way; the
+fold was removed. The real fusion win is ops/pallas/fused_gn_dropblock.py,
+which rides GroupNorm's existing HBM passes.)
 
 Semantics match ops.dropblock for ODD block sizes (the canonical
-block_size=7; the reference's independent-channel variant requires odd
-sizes anyway, utils_modules.py:117-128): seeds ~ Bernoulli(gamma) over the
-interior region (border of b//2 excluded, equivalent to the dependent
-variant's valid-center + zero-pad construction), expanded to b x b blocks,
-inverted, applied, and rescaled OUTSIDE the kernel by numel/sum(keep) (the
-scalar multiply fuses into the consumer). The RNG stream differs from
-jax.random (hardware PRNG streams) — allowed, since masks only need the
-right distribution, not bit-parity with any host RNG.
+block_size=7): seeds ~ Bernoulli(gamma) over the interior (border of b//2
+excluded — equivalent to the dependent variant's valid-center + zero-pad
+construction, reference utils_modules.py:36-82), expanded to b x b blocks,
+inverted, applied, rescaled per sample (numel/sum, utils_modules.py:61-64).
+The RNG stream differs from jax.random (hardware PRNG) and gamma is
+16-bit-quantized — allowed: masks need the right distribution, not
+bit-parity with any host RNG.
 
 Strip-aligned generation keeps tiles independent with no cross-tile
-communication: every global 8-row strip draws its bits from a stream seeded
-by (key, sample, strip), so the +-b//2 halo rows a tile needs are
-regenerated locally, bit-identical to the neighbor tile's rows.
+communication: every global 8-row strip draws from a stream seeded by
+(key, sample, strip), so halo rows, the phase-2 replay, AND the fused
+GN-epilogue kernel's replay (fused_gn_dropblock.py) are all bit-identical.
 """
 
 from __future__ import annotations
@@ -30,86 +55,258 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _STRIP = 8  # PRNG strip height; tiles and halos are strip-aligned
+KBITS = 16  # gamma quantization bits for the bitwise Bernoulli comparator
 
 
 def pallas_dropblock_supported(block_size: int) -> bool:
     return block_size % 2 == 1 and 1 < block_size <= 2 * _STRIP + 1
 
 
-def _pick_ht(h: int, w: int, c: int, budget: int = 9 * 2**20) -> int:
-    """Rows per tile: the bf16 working set is roughly 9 row-planes deep
-    (seeds scratch with halo, shift temporaries, double-buffered x/out)."""
-    per_row = max(1, w * c * 2 * 9)
-    rows = min(h, budget // per_row)
+def _pick_ht(h: int, w: int, c: int, budget: int = 14 * 2**20) -> int:
+    """Rows per x tile in phase 2 against XLA's 16M *scoped* vmem limit for
+    custom calls (a 48M budget OOMed at compile on the (N,74,72,1024) skip
+    sites). ~20 bytes/element: bf16 x/out double-buffered + the broadcast
+    int32 bit plane + select temps (measured 18.2B/elem at (16,74,72,512))."""
+    per_row = max(1, w * c * 20)
+    rows = min(h, max(1, budget // per_row))
     return max(_STRIP, (rows // _STRIP) * _STRIP)
 
 
-def _shift_w(a, d: int):
-    """Shift along axis 1 (W) by d (+right / -left), zero fill, bf16-safe."""
-    ht, w, c = a.shape
-    zeros = jnp.zeros((ht, abs(d), c), a.dtype)
-    if d > 0:
-        return jnp.concatenate([zeros, a[:, : w - d, :]], axis=1)
-    return jnp.concatenate([a[:, -d:, :], zeros], axis=1)
+def _bit_shift(x, n: int):
+    """Logical bit shift moving bit (t+n) -> t; n may be negative."""
+    if n == 0:
+        return x
+    if n > 0:
+        if n >= 32:
+            return jnp.zeros_like(x)
+        return lax.shift_right_logical(x, jnp.int32(n))
+    if n <= -32:
+        return jnp.zeros_like(x)
+    return lax.shift_left(x, jnp.int32(-n))
 
 
-def _kernel(kd_ref, gamma_ref, x_ref, out_ref, psum_ref, seeds_ref, *, H, W, C, Ht, b):
-    p = b // 2
-    n = pl.program_id(0)
-    ht = pl.program_id(1)
-    row0 = ht * Ht
-    strip0 = row0 // _STRIP - 1  # first (possibly negative) halo strip
-    gamma = gamma_ref[0]
-    kd0 = kd_ref[0]
-    kd1 = kd_ref[1]
+def _g_shift(a, j: int):
+    """Word-index (sublane) shift on (R, WG, L) planes: out[g] = a[g+j]."""
+    if j == 0:
+        return a
+    r, wg, lanes = a.shape
+    if abs(j) >= wg:
+        return jnp.zeros_like(a)
+    zeros = jnp.zeros((r, abs(j), lanes), a.dtype)
+    if j > 0:
+        return jnp.concatenate([a[:, j:, :], zeros], axis=1)
+    return jnp.concatenate([zeros, a[:, :j, :]], axis=1)
 
-    col_ids = lax.broadcasted_iota(jnp.int32, (_STRIP, W, C), 1)
-    col_ok = (col_ids >= p) & (col_ids <= W - 1 - p)
-    row_in_strip = lax.broadcasted_iota(jnp.int32, (_STRIP, W, C), 0)
 
+def _w_shift(a, k: int, wg: int):
+    """Width shift on interleaved bit planes: position q picks up q+k.
+    Decomposes into sublane shift k%WG + bit shift k//WG with a carry
+    select at the word wrap."""
+    if k == 0:
+        return a
+    kb = k % wg  # python: non-negative, floor-consistent with k // wg
+    ka = k // wg
+    if kb == 0:
+        return _bit_shift(a, ka)
+    lo = _bit_shift(_g_shift(a, kb), ka)
+    hi = _bit_shift(_g_shift(a, kb - wg), ka + 1)
+    g_iota = lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    return jnp.where(g_iota < wg - kb, lo, hi)
+
+
+def expand_bit_planes(seeds, p: int, *, wg: int):
+    """OR of all (2p+1)-separable width shifts: rows were pre-ORed by the
+    caller; this is the width direction. Pure jnp — unit-testable off-TPU."""
+    out = seeds
+    for s in range(1, p + 1):
+        out = out | _w_shift(seeds, s, wg)
+        out = out | _w_shift(seeds, -s, wg)
+    return out
+
+
+def _interior_words_np(w: int, p: int, wg: int) -> np.ndarray:
+    """(WG, 1) int32: bit t of word g is set iff width position w0 = t*wg+g
+    lies in the interior [p, W-1-p] (the Bernoulli-center region; p=0 gives
+    the coverage mask that zeroes packing-pad bits). Broadcasts over lanes."""
+    out = np.zeros((wg, 1), np.uint32)
+    for g in range(wg):
+        bits = 0
+        for t in range(32):
+            w0 = t * wg + g
+            if p <= w0 <= w - 1 - p:
+                bits |= 1 << t
+        out[g, 0] = np.uint32(bits)
+    return out.view(np.int32)
+
+
+def _bitpos_np(w: int, wg: int) -> np.ndarray:
+    """(W, 1) int32: the unpack mask 1 << (w // WG) per output sublane."""
+    t = np.arange(w, dtype=np.uint32) // np.uint32(wg)
+    return (np.uint32(1) << t).view(np.int32).reshape(w, 1)
+
+
+def _gen_seed_words(seeds_ref, interior_ref, kd0, kd1, gamma_bits, n, row0,
+                    *, H, p, wg, lanes, Ht):
+    """Fill the bit-plane scratch for this tile + halo strips: KBITS rounds
+    of the bitwise 'U < gamma' comparator on hardware PRNG words, masked to
+    the interior region."""
+    strip0 = row0 // _STRIP - 1
     n_strips = Ht // _STRIP + 2
+    interior = interior_ref[...]  # (wg, 1) int32, broadcasts over lanes
+    row_in_strip = lax.broadcasted_iota(jnp.int32, (_STRIP, wg, lanes), 0)
 
     def gen_strip(si, _):
-        gs = strip0 + si  # global strip index
+        gs = strip0 + si
         # 0x9E3779B1 (Fibonacci hashing constant) as signed int32
         pltpu.prng_seed(kd0 ^ (gs * jnp.int32(-1640531535)) ^ (n * 97 + 13) ^ kd1)
-        bits = pltpu.bitcast(pltpu.prng_random_bits((_STRIP, W, C)), jnp.uint32)
-        # top 24 bits as a positive int32 (Mosaic can't cast uint32->f32)
-        hi24 = pltpu.bitcast(bits >> 8, jnp.int32)
-        u = hi24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
-        g = gs * _STRIP + row_in_strip  # global row of each lane
+        lt = jnp.zeros((_STRIP, wg, lanes), jnp.int32)
+        eq = jnp.full((_STRIP, wg, lanes), -1, jnp.int32)
+        for i in range(KBITS):
+            r = pltpu.bitcast(pltpu.prng_random_bits((_STRIP, wg, lanes)), jnp.int32)
+            gbit = (gamma_bits >> (KBITS - 1 - i)) & 1
+            gmask = -gbit  # 0 or all-ones, broadcast scalar
+            # U < gamma decided where still tied, u_i = 0, g_i = 1
+            lt = lt | (eq & ~r & gmask)
+            # tie continues where u_i == g_i
+            eq = eq & (r ^ ~gmask)
+        g = gs * _STRIP + row_in_strip
         row_ok = (g >= p) & (g <= H - 1 - p)
-        s = jnp.where((u < gamma) & col_ok & row_ok, 1.0, 0.0)
-        seeds_ref[pl.ds(si * _STRIP, _STRIP)] = s.astype(seeds_ref.dtype)
+        seeds_ref[pl.ds(si * _STRIP, _STRIP)] = jnp.where(row_ok, lt & interior, 0)
         return 0
 
     lax.fori_loop(0, n_strips, gen_strip, 0)
 
-    # separable block expansion in bf16 VMEM. Tile rows live at scratch
-    # offset _STRIP (one halo strip above); seeds beyond the canvas are 0.
+
+def _gen_block_words(seeds_ref, interior_ref, kd0, kd1, gamma_bits, n, row0,
+                     *, H, b, wg, lanes, Ht):
+    """Seed bit-planes + separable block expansion -> dropped-position
+    bit-planes (Ht, WG, lanes) for this tile."""
+    p = b // 2
+    _gen_seed_words(seeds_ref, interior_ref, kd0, kd1, gamma_bits, n, row0,
+                    H=H, p=p, wg=wg, lanes=lanes, Ht=Ht)
     off = _STRIP - p
     acc = seeds_ref[pl.ds(off, Ht)]
     for d in range(1, 2 * p + 1):
-        acc = jnp.maximum(acc, seeds_ref[pl.ds(off + d, Ht)])
-    colacc = acc
-    for d in range(1, p + 1):
-        colacc = jnp.maximum(colacc, _shift_w(acc, d))
-        colacc = jnp.maximum(colacc, _shift_w(acc, -d))
+        acc = acc | seeds_ref[pl.ds(off + d, Ht)]
+    return expand_bit_planes(acc, p, wg=wg)
 
-    keep = (jnp.ones((), colacc.dtype) - colacc).astype(x_ref.dtype)
-    out_ref[0] = x_ref[0] * keep
 
-    # partial sum over rows that exist in the (possibly ragged) last tile;
-    # the psum buffer is unblocked SMEM — TPU grid steps run sequentially,
-    # each writing its own slot
-    row3 = lax.broadcasted_iota(jnp.int32, (Ht, W, C), 0)
-    valid = (row3 + row0) < H
-    psum_ref[n, ht] = jnp.sum(jnp.where(valid, keep.astype(jnp.float32), 0.0))
+def _sum_kernel(kd_ref, gb_ref, interior_ref, cover_ref, psum_ref, seeds_ref,
+                *, H, b, wg, c, Ht):
+    n = pl.program_id(0)
+    ht = pl.program_id(1)
+    row0 = ht * Ht
+    block = _gen_block_words(seeds_ref, interior_ref, kd_ref[0], kd_ref[1],
+                             gb_ref[0], n, row0,
+                             H=H, b=b, wg=wg, lanes=c, Ht=Ht)
+    block = block & cover_ref[...]  # drop expansion spill into packing pad
+    counts = lax.population_count(block)
+    row3 = lax.broadcasted_iota(jnp.int32, (Ht, wg, c), 0)
+    valid = (row3 + row0) < H  # ragged last tile
+    dropped = jnp.sum(jnp.where(valid, counts, 0).astype(jnp.float32))
+    # keep = total positions - dropped; totals are added once outside
+    psum_ref[n, ht] = dropped
+
+
+def _apply_kernel(kd_ref, gb_ref, interior_ref, bitpos_ref, scale_ref,
+                  x_ref, out_ref, seeds_ref,
+                  *, H, b, wg, c, Ht):
+    n = pl.program_id(0)
+    ht = pl.program_id(1)
+    row0 = ht * Ht
+    block = _gen_block_words(seeds_ref, interior_ref, kd_ref[0], kd_ref[1],
+                             gb_ref[0], n, row0,
+                             H=H, b=b, wg=wg, lanes=c, Ht=Ht)
+    # unpack: tile-repeat puts copy t of word g at sublane t*WG + g — exactly
+    # the interleaved mapping; AND with the per-sublane bit mask
+    w = x_ref.shape[2]
+    planes = pltpu.repeat(block, -(-w // wg), axis=1)[:, :w, :]
+    dropped = (planes & bitpos_ref[...]) != 0
+    xs = x_ref[0] * scale_ref[n].astype(x_ref.dtype)
+    out_ref[0] = jnp.where(dropped, jnp.zeros((), x_ref.dtype), xs)
+
+
+def _prep(x_shape, key, gamma, block_size):
+    n, h, w, c = x_shape
+    b = block_size
+    p = b // 2
+    wg = -(-w // 32)
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2].astype(jnp.int32)
+    gb = jnp.clip(jnp.round(jnp.asarray(gamma, jnp.float32) * (1 << KBITS)),
+                  0, (1 << KBITS) - 1).astype(jnp.int32).reshape(1)
+    interior = jnp.asarray(_interior_words_np(w, p, wg))
+    cover = jnp.asarray(_interior_words_np(w, 0, wg))
+    return n, h, w, c, b, wg, kd, gb, interior, cover
+
+
+def dropblock_pallas_keep_sums(shape, key, gamma, block_size: int, interpret=False):
+    """Phase 1: per-sample keep-mask sums for an NHWC `shape` — no tensor IO."""
+    n, h, w, c, b, wg, kd, gb, interior, cover = _prep(shape, key, gamma, block_size)
+    # expansion temporaries are ~8 int32 word-planes of (ht, wg, c)
+    ht = min(h, (8 * 2**20) // max(1, wg * c * 4 * 8))
+    ht = max(_STRIP, (ht // _STRIP) * _STRIP)
+    n_htiles = pl.cdiv(h, ht)
+
+    kernel = functools.partial(_sum_kernel, H=h, b=b, wg=wg, c=c, Ht=ht)
+    psums = pl.pallas_call(
+        kernel,
+        grid=(n, n_htiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n_htiles), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ht + 2 * _STRIP, wg, c), jnp.int32)],
+        interpret=interpret,
+    )(kd, gb, interior, cover)
+    dropped = jnp.sum(psums, axis=1)
+    return float(h) * w * c - dropped  # (N,) keep counts
+
+
+def dropblock_pallas_apply(x, key, gamma, scale, block_size: int, interpret=False):
+    """Phase 2: x * keep * scale in one read+write; regenerates phase 1's mask."""
+    n, h, w, c, b, wg, kd, gb, interior, cover = _prep(
+        x.shape, key, gamma, block_size)
+    ht = _pick_ht(h, w, c)
+    n_htiles = pl.cdiv(h, ht)
+    scale32 = jnp.asarray(scale, jnp.float32).reshape(n)
+    bitpos = jnp.asarray(_bitpos_np(w, wg))
+
+    kernel = functools.partial(_apply_kernel, H=h, b=b, wg=wg, c=c, Ht=ht)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_htiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ht, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((ht + 2 * _STRIP, wg, c), jnp.int32)],
+        interpret=interpret,
+    )(kd, gb, interior, bitpos, scale32, x)
+    return out
+
+
+def _scale_from_sums(keep_sum, total: float, guard_zero: bool):
+    if guard_zero:
+        return jnp.where(keep_sum != 0, total / keep_sum, 1.0)
+    return total / keep_sum
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "guard_zero", "interpret"))
@@ -128,71 +325,41 @@ def dropblock_pallas(
     dropped, utils_modules.py:133-138); False reproduces the dependent
     variant's unguarded numel/sum (which NaNs out when all is dropped, like
     the reference — the model's NaN scrub handles it).
+
+    Per-SAMPLE rescale: each batch element is one MC ensemble member, so
+    the batch-1 reference semantics (scale = numel/sum per forward pass,
+    utils_modules.py:61-64) apply sample-wise. (The pure-XLA impl keeps the
+    reference's whole-batch coupling for training parity; at batch 1 the
+    two are identical.)
     """
     if not pallas_dropblock_supported(block_size):
         raise ValueError("pallas dropblock requires odd 1 < block_size <= 17")
     n, h, w, c = x.shape
-    b = block_size
-    ht = _pick_ht(h, w, c)
-    n_htiles = pl.cdiv(h, ht)
-
-    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2].astype(jnp.int32)
-    gamma32 = jnp.asarray(gamma, jnp.float32).reshape(1)
-
-    kernel = functools.partial(_kernel, H=h, W=w, C=c, Ht=ht, b=b)
-    out, psums = pl.pallas_call(
-        kernel,
-        grid=(n, n_htiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ht, w, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, ht, w, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((n, n_htiles), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((ht + 2 * _STRIP, w, c), jnp.bfloat16),
-        ],
-        interpret=interpret,
-    )(kd, gamma32, x)
-
-    # Per-SAMPLE rescale: each batch element is one MC ensemble member, so
-    # the batch-1 reference semantics (scale = numel/sum per forward pass,
-    # utils_modules.py:61-64) apply sample-wise. (The pure-XLA impl keeps the
-    # reference's whole-batch coupling for training parity; at batch 1 the
-    # two are identical.)
-    keep_sum = jnp.sum(psums, axis=1)  # (N,)
-    total = float(h * w * c)
-    if guard_zero:
-        scale = jnp.where(keep_sum != 0, total / keep_sum, 1.0)
-    else:
-        scale = total / keep_sum
-    return out * scale.astype(x.dtype)[:, None, None, None]
+    keep_sum = dropblock_pallas_keep_sums(x.shape, key, gamma, block_size, interpret)
+    scale = _scale_from_sums(keep_sum, float(h * w * c), guard_zero)
+    return dropblock_pallas_apply(x, key, gamma, scale, block_size, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def dropblock_pallas_ad(x, key, gamma, block_size, guard_zero=False, interpret=False):
     """Differentiable wrapper: d(x*keep*scale)/dx = keep*scale, and the mask
     is a deterministic function of (key, gamma, shape) — so the backward pass
-    simply reruns the kernel on the cotangent with the same key. No residual
-    mask needs to be stored."""
+    is one apply-kernel run on the cotangent with the saved scale. No
+    residual mask needs to be stored."""
     return dropblock_pallas(x, key, gamma, block_size, guard_zero, interpret)
 
 
 def _db_fwd(x, key, gamma, block_size, guard_zero, interpret):
-    out = dropblock_pallas(x, key, gamma, block_size, guard_zero, interpret)
-    return out, (key, gamma)
+    n, h, w, c = x.shape
+    keep_sum = dropblock_pallas_keep_sums(x.shape, key, gamma, block_size, interpret)
+    scale = _scale_from_sums(keep_sum, float(h * w * c), guard_zero)
+    out = dropblock_pallas_apply(x, key, gamma, scale, block_size, interpret)
+    return out, (key, gamma, scale)
 
 
 def _db_bwd(block_size, guard_zero, interpret, res, g):
-    key, gamma = res
-    dx = dropblock_pallas(g, key, gamma, block_size, guard_zero, interpret)
+    key, gamma, scale = res
+    dx = dropblock_pallas_apply(g, key, gamma, scale, block_size, interpret)
     return dx, None, None
 
 

@@ -39,6 +39,7 @@ def streaming_ensemble(
     xs: jax.Array,
     chunk: int,
     return_num: int = 0,
+    chunk_fn: bool = False,
 ):
     """Evaluate sample_fn over xs[i] (vmapped in chunks of `chunk`) and return
     (mean, std, first_return_num_outputs).
@@ -49,6 +50,9 @@ def streaming_ensemble(
     - std is unbiased (ddof=1), matching torch .std(0)
     - the first `return_num` members' raw outputs are returned (the
       reference's tensors[0:return_num], Dropblock_Uncertainty.py:69)
+    - chunk_fn=True: sample_fn already maps a CHUNK of xs to stacked member
+      outputs (used when the member computation is a real device batch
+      rather than a vmap — e.g. the shear-warped rotation fan)
 
     All chunk boundaries are static; call inside jit.
     """
@@ -56,7 +60,7 @@ def streaming_ensemble(
     if n < 2:
         raise ValueError("ensemble needs >= 2 members for std")
     return_num = min(return_num, n)
-    vf = jax.vmap(sample_fn)
+    vf = sample_fn if chunk_fn else jax.vmap(sample_fn)
 
     def absorb(stats, outs):
         bstats = _batch_stats(outs)

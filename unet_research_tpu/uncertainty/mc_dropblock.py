@@ -80,7 +80,11 @@ class MCDropBlockEngine:
             )
             return mean[None], std[None], saved[:, None], im, gt, mask
 
-        self._run = jax.jit(run)
+        # drop_prob is a per-run constant (Dropblock_Uncertainty.py:22-25
+        # forces a fixed rate for the whole ensemble): compiling it static
+        # constant-folds the Bernoulli comparator's gamma bits in the
+        # bit-plane mask pipeline (ops/dropblock.py)
+        self._run = jax.jit(run, static_argnums=(5,))
 
     def predict(self, params, im, gt, mask, key, drop_prob):
         """Returns (mean, std, saved, im, gt, mask); mean/std are (1,H,W,1),
