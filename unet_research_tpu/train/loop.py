@@ -54,6 +54,12 @@ class TrainerConfig:
     # aux subsystems (SURVEY.md §5): --profiler / --detect_anomaly analogues
     profiler: Optional[str] = None  # 'simple' | 'trace'
     detect_anomaly: bool = False  # per-step finite check (forces host sync)
+    # dispatch a whole epoch as ONE lax.scan program instead of one RPC per
+    # step: the axon tunnel costs ~40 ms per dispatch, which dominates
+    # small-resolution epochs (a 128^2 LF epoch is ~60 s per-step vs ~7 s
+    # scanned). Identical step math; auto-falls-back for size plans (MF),
+    # batch>1, meshes, and detect_anomaly.
+    scan_epochs: bool = True
 
 
 class Trainer:
@@ -110,6 +116,20 @@ class Trainer:
         def predict_step(params, im, gt, mask):
             return self.policy.predict_io(lambda x: forward_eval(params, x), im, gt, mask)
 
+        def train_epoch_scan(state: TrainState, ims, gts, masks, lr, base_key):
+            """All K steps of one epoch as a single device program.
+
+            ims/gts/masks: (K, B, H, W, C) stacked shuffled batches. Returns
+            (state, (K,) per-step losses) — identical math to K calls of
+            train_step at size=-1."""
+
+            def body(st, batch):
+                im, gt, mask = batch
+                st2, loss = train_step(st, im, gt, mask, lr, base_key, -1)
+                return st2, loss
+
+            return jax.lax.scan(body, state, (ims, gts, masks))
+
         if mesh is not None:
             from unet_research_tpu.parallel.mesh import data_sharding, replicated
 
@@ -131,6 +151,7 @@ class Trainer:
             self._train_step = jax.jit(train_step, static_argnames=("size",))
             self._eval_step = jax.jit(eval_step)
             self._predict_step = jax.jit(predict_step)
+            self._train_epoch = jax.jit(train_epoch_scan)
 
     # ------------------------------------------------------------------
     def init_params(self, init_channels: Optional[int] = None, seed: int = 0):
@@ -215,21 +236,44 @@ class Trainer:
 
         t_fit = time.time()
         shuffle = not self.policy.uses_size_plan  # MF plans index by batch_idx
+        use_scan = (
+            cfg.scan_epochs
+            and size_plan is None
+            and cfg.train_batch == 1
+            and not cfg.detect_anomaly
+            and self.mesh is None
+        )
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
-            step_losses = []
-            for batch_idx, (im, gt, mask) in enumerate(
-                batch_iterator(train_ds, cfg.train_batch, shuffle, np_rng)
-            ):
-                size = int(size_plan[batch_idx]) if size_plan is not None else -1
-                state, loss = self._train_step(state, im, gt, mask, lr, base_key, size)
-                if cfg.detect_anomaly and not np.isfinite(float(loss)):
-                    raise FloatingPointError(
-                        f"non-finite train loss at epoch {epoch} batch {batch_idx}"
-                        " (--detect_anomaly)"
-                    )
-                if batch_idx % cfg.log_gate:  # reference gate quirk
-                    step_losses.append(loss)
+            if use_scan:
+                # one host-side stack + one device_put + ONE dispatch for the
+                # whole epoch (same shuffle-rng consumption as batch_iterator)
+                order = np.arange(len(train_ds))
+                if shuffle:
+                    np_rng.shuffle(order)
+                im_s, gt_s, mask_s = train_ds[order]
+                stack = jax.device_put(
+                    (im_s[:, None], gt_s[:, None], mask_s[:, None])
+                )
+                state, losses = self._train_epoch(state, *stack, lr, base_key)
+                losses = jax.device_get(losses)
+                step_losses = [
+                    losses[i] for i in range(len(order)) if i % cfg.log_gate
+                ]
+            else:
+                step_losses = []
+                for batch_idx, (im, gt, mask) in enumerate(
+                    batch_iterator(train_ds, cfg.train_batch, shuffle, np_rng)
+                ):
+                    size = int(size_plan[batch_idx]) if size_plan is not None else -1
+                    state, loss = self._train_step(state, im, gt, mask, lr, base_key, size)
+                    if cfg.detect_anomaly and not np.isfinite(float(loss)):
+                        raise FloatingPointError(
+                            f"non-finite train loss at epoch {epoch} batch {batch_idx}"
+                            " (--detect_anomaly)"
+                        )
+                    if batch_idx % cfg.log_gate:  # reference gate quirk
+                        step_losses.append(loss)
 
             train_loss = float(np.mean(jax.device_get(step_losses))) if step_losses else float("nan")
             history["train_loss_epoch"].append(train_loss)
