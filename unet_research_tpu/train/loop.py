@@ -116,19 +116,26 @@ class Trainer:
         def predict_step(params, im, gt, mask):
             return self.policy.predict_io(lambda x: forward_eval(params, x), im, gt, mask)
 
-        def train_epoch_scan(state: TrainState, ims, gts, masks, lr, base_key):
-            """All K steps of one epoch as a single device program.
+        def train_epoch_scan(state: TrainState, ims, gts, masks, order,
+                             lr, base_key):
+            """All K steps of one epoch as a single device program over the
+            DEVICE-RESIDENT dataset.
 
-            ims/gts/masks: (K, B, H, W, C) stacked shuffled batches. Returns
-            (state, (K,) per-step losses) — identical math to K calls of
-            train_step at size=-1."""
+            ims/gts/masks: (N, H, W, C) uint8 — uploaded once per fit (the
+            remote-tunnel host->device link is the bottleneck: re-shipping
+            the f32 dataset cost ~30-50 s per epoch). order: (K,) int32
+            shuffled indices. The uint8->f32/255 conversion matches
+            ArrayDataset.__getitem__ exactly. Returns (state, (K,) losses) —
+            identical math to K calls of train_step at size=-1."""
 
-            def body(st, batch):
-                im, gt, mask = batch
+            def body(st, oi):
+                im = (ims[oi].astype(jnp.float32) / 255.0)[None]
+                gt = (gts[oi].astype(jnp.float32) / 255.0)[None]
+                mask = (masks[oi].astype(jnp.float32) / 255.0)[None]
                 st2, loss = train_step(st, im, gt, mask, lr, base_key, -1)
                 return st2, loss
 
-            return jax.lax.scan(body, state, (ims, gts, masks))
+            return jax.lax.scan(body, state, order)
 
         if mesh is not None:
             from unet_research_tpu.parallel.mesh import data_sharding, replicated
@@ -243,19 +250,23 @@ class Trainer:
             and not cfg.detect_anomaly
             and self.mesh is None
         )
+        dev_data = None
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             if use_scan:
-                # one host-side stack + one device_put + ONE dispatch for the
-                # whole epoch (same shuffle-rng consumption as batch_iterator)
+                # device-resident uint8 dataset (one-time upload) + ONE
+                # dispatch per epoch; only the (K,) shuffle order ships
+                if dev_data is None:
+                    dev_data = jax.device_put(
+                        (train_ds.images, train_ds.targets, train_ds.masks)
+                    )
                 order = np.arange(len(train_ds))
                 if shuffle:
                     np_rng.shuffle(order)
-                im_s, gt_s, mask_s = train_ds[order]
-                stack = jax.device_put(
-                    (im_s[:, None], gt_s[:, None], mask_s[:, None])
+                state, losses = self._train_epoch(
+                    state, *dev_data, jnp.asarray(order, jnp.int32),
+                    lr, base_key,
                 )
-                state, losses = self._train_epoch(state, *stack, lr, base_key)
                 losses = jax.device_get(losses)
                 step_losses = [
                     losses[i] for i in range(len(order)) if i % cfg.log_gate
