@@ -116,6 +116,16 @@ class Trainer:
         def predict_step(params, im, gt, mask):
             return self.policy.predict_io(lambda x: forward_eval(params, x), im, gt, mask)
 
+        def train_step_indexed(state: TrainState, ims, gts, masks, oi,
+                               lr, base_key, size: int):
+            """train_step reading batch `oi` from the device-resident uint8
+            dataset (per-step fallback paths — MF size plans — still avoid
+            re-shipping data over the tunnel every step)."""
+            im = (ims[oi].astype(jnp.float32) / 255.0)[None]
+            gt = (gts[oi].astype(jnp.float32) / 255.0)[None]
+            mask = (masks[oi].astype(jnp.float32) / 255.0)[None]
+            return train_step(state, im, gt, mask, lr, base_key, size)
+
         def train_epoch_scan(state: TrainState, ims, gts, masks, order,
                              lr, base_key):
             """All K steps of one epoch as a single device program over the
@@ -159,6 +169,9 @@ class Trainer:
             self._eval_step = jax.jit(eval_step)
             self._predict_step = jax.jit(predict_step)
             self._train_epoch = jax.jit(train_epoch_scan)
+            self._train_step_indexed = jax.jit(
+                train_step_indexed, static_argnames=("size",)
+            )
 
     # ------------------------------------------------------------------
     def init_params(self, init_channels: Optional[int] = None, seed: int = 0):
@@ -271,6 +284,30 @@ class Trainer:
                 step_losses = [
                     losses[i] for i in range(len(order)) if i % cfg.log_gate
                 ]
+            elif cfg.train_batch == 1 and self.mesh is None:
+                # per-step (MF size plans / --detect_anomaly) but still
+                # against the device-resident dataset: one tiny index ships
+                # per step instead of the batch
+                if dev_data is None:
+                    dev_data = jax.device_put(
+                        (train_ds.images, train_ds.targets, train_ds.masks)
+                    )
+                order = np.arange(len(train_ds))
+                if shuffle:
+                    np_rng.shuffle(order)
+                step_losses = []
+                for batch_idx, oi in enumerate(order):
+                    size = int(size_plan[batch_idx]) if size_plan is not None else -1
+                    state, loss = self._train_step_indexed(
+                        state, *dev_data, int(oi), lr, base_key, size
+                    )
+                    if cfg.detect_anomaly and not np.isfinite(float(loss)):
+                        raise FloatingPointError(
+                            f"non-finite train loss at epoch {epoch} batch {batch_idx}"
+                            " (--detect_anomaly)"
+                        )
+                    if batch_idx % cfg.log_gate:  # reference gate quirk
+                        step_losses.append(loss)
             else:
                 step_losses = []
                 for batch_idx, (im, gt, mask) in enumerate(
