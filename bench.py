@@ -61,11 +61,16 @@ def main():
         mean, std, *_ = engine.predict(params, im, gt, mask, jax.random.PRNGKey(i), 0.15)
         sync(mean, std)
 
+    # Salt the timed keys per invocation: the tunnel backend memoizes
+    # identical dispatches, and a fixed key set would let a replayed result
+    # masquerade as a fresh measurement. The keys only need to be fresh, not
+    # reproducible.
+    salt = time.time_ns() & 0x7FFFFFFF
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         mean, std, *_ = engine.predict(
-            params, im, gt, mask, jax.random.PRNGKey(10 + i), 0.15
+            params, im, gt, mask, jax.random.PRNGKey(salt + i), 0.15
         )
         sync(mean, std)
         times.append(time.perf_counter() - t0)

@@ -171,16 +171,10 @@ def test_bitplane_expansion_matches_dense_maxpool():
 
 
 def test_bitplane_and_elementwise_paths_agree_statistically():
-    import os
-
     x = jnp.ones((4, 64, 64, 8))
     key = jax.random.PRNGKey(5)
     out_el = np.asarray(dropblock_dependent(x, key, 0.15, 7))
-    os.environ["UNET_DB_BITPLANE"] = "1"
-    try:
-        out_bp = np.asarray(dropblock_dependent(x, key, 0.15, 7))
-    finally:
-        del os.environ["UNET_DB_BITPLANE"]
+    out_bp = np.asarray(dropblock_dependent(x, key, 0.15, 7, bitplane=True))
     # same target drop rate from either pipeline (different RNG streams)
     assert abs((out_bp == 0).mean() - (out_el == 0).mean()) < 0.05
     # both rescale kept values to numel/sum

@@ -19,7 +19,10 @@ def main(argv=None):
     parser.add_argument("-save_path", dest="save_path", required=True)
     parser.add_argument("-aug_root", dest="aug_root", default=None,
                         help="augmented data root (for FOV masks in CV plots)")
-    parser.add_argument("-kinds", dest="kinds", default="std,cv,hist")
+    # default matches the reference's default output set: create_density.py
+    # submits the STD/CV/DID payloads; create_density_STD.py only DEFINES the
+    # histogram battery and never invokes it, so 'hist' is opt-in here.
+    parser.add_argument("-kinds", dest="kinds", default="std,cv")
     parser.add_argument("-models", dest="models", default=",".join(MODELS))
     args, _ = parser.parse_known_args(argv)
     create_density_report(

@@ -73,6 +73,10 @@ class DropBlockConfig:
     # free), so the default stays False. See PERF.md for the measured
     # ladder.
     use_pallas: bool = False
+    # None defers to ops.dropblock.BITPLANE_DEFAULT (the UNET_DB_BITPLANE env
+    # var read once at import); True/False select the bit-plane vs elementwise
+    # XLA mask pipeline explicitly.
+    bitplane: Optional[bool] = None
 
 
 def _pallas_ok(block_size: int) -> bool:
@@ -280,7 +284,7 @@ class _Layers(nn.Module):
             gamma = dropblock_gamma_independent(h, w, db.block_size, drop_prob)
             return dropblock_pallas_ad(x, key, gamma, db.block_size, True)
         fn = dropblock_dependent if db.kind == "dependent" else dropblock_independent
-        return fn(x, key, drop_prob, db.block_size)
+        return fn(x, key, drop_prob, db.block_size, bitplane=db.bitplane)
 
     def _conv(self, x, features: int, name: str):
         cfg = self.cfg

@@ -22,10 +22,18 @@ ops/pallas/dropblock_kernel.py; these are the goldens it is tested against.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+# Read once at import: flipping the env var after the first jit compile could
+# never take effect anyway (the toggle is trace-time), so making it an
+# import-time constant keeps behavior a function of visible state. Callers can
+# also pass `bitplane=` explicitly (e.g. from a config knob).
+BITPLANE_DEFAULT = bool(os.environ.get("UNET_DB_BITPLANE"))
 
 
 def dropblock_gamma_dependent(h: int, w: int, block_size: int, drop_prob) -> jax.Array:
@@ -135,7 +143,10 @@ def _seed_planes(key, gamma, shape) -> jax.Array:
         jnp.round(jnp.asarray(gamma, jnp.float32) * (1 << KBITS)),
         0, (1 << KBITS) - 1,
     ).astype(jnp.int32)
-    state = _hash_words(key, shape, salt=0x5EED)
+    # `| 1` guards the xorshift fixed point at state 0: a hash word that mixes
+    # to exactly 0 would stay 0 for all KBITS rounds and deterministically
+    # seed dropped blocks at those 32 positions (~2^-32 per word).
+    state = _hash_words(key, shape, salt=0x5EED) | 1
     lt = jnp.zeros(shape, jnp.int32)
     eq = jnp.full(shape, -1, jnp.int32)
     for i in range(KBITS):
@@ -292,7 +303,12 @@ def _block_expand_max(mask: jax.Array, block_size: int) -> jax.Array:
 
 
 def dropblock_dependent(
-    x: jax.Array, key: jax.Array, drop_prob, block_size: int, fast_rng: bool = True
+    x: jax.Array,
+    key: jax.Array,
+    drop_prob,
+    block_size: int,
+    fast_rng: bool = True,
+    bitplane: bool | None = None,
 ) -> jax.Array:
     """DropBlock2D-equivalent (reference utils_modules.py:36-82), NHWC.
 
@@ -306,13 +322,13 @@ def dropblock_dependent(
     drop_prob may be a traced scalar: at p=0 the math degrades to identity
     (all-ones block mask, scale 1), so no dynamic branch is needed under jit.
     """
-    import os
-
+    if bitplane is None:
+        bitplane = BITPLANE_DEFAULT
     n, h, w, c = x.shape
     b = block_size
     gamma = dropblock_gamma_dependent(h, w, b, drop_prob)
     p = b // 2
-    if b % 2 == 1 and fast_rng and os.environ.get("UNET_DB_BITPLANE"):
+    if b % 2 == 1 and fast_rng and bitplane:
         # bit-plane pipeline (module comment above): word ops for the mask
         # math, elementwise unpack fused into the consumer by XLA. The
         # whole-batch numel/sum rescale matches the reference exactly
@@ -349,7 +365,12 @@ def dropblock_dependent(
 
 
 def dropblock_independent(
-    x: jax.Array, key: jax.Array, drop_prob, block_size: int, fast_rng: bool = True
+    x: jax.Array,
+    key: jax.Array,
+    drop_prob,
+    block_size: int,
+    fast_rng: bool = True,
+    bitplane: bool | None = None,
 ) -> jax.Array:
     """Dropblock2d_ichan-equivalent (reference utils_modules.py:107-139), NHWC.
 
@@ -360,12 +381,12 @@ def dropblock_independent(
     """
     if block_size % 2 == 0:
         raise ValueError("dropblock_independent requires an odd block_size")
-    import os
-
+    if bitplane is None:
+        bitplane = BITPLANE_DEFAULT
     n, h, w, c = x.shape
     b = block_size
     gamma = dropblock_gamma_independent(h, w, b, drop_prob)
-    if fast_rng and os.environ.get("UNET_DB_BITPLANE"):
+    if fast_rng and bitplane:
         # bit-plane pipeline with the ichan variant's guarded 1/mean rescale
         # over the whole batch (utils_modules.py:133-138)
         planes, keep = dropblock_mask_bitplane(key, gamma, x.shape, b)
