@@ -49,7 +49,7 @@ def trained(aug_data, tmp_path_factory):
     out_root = tmp_path_factory.mktemp("runs")
     dest = training.main(
         ["-mode", "train", "-data_path", aug_data, "-save_path", str(out_root / "bm"),
-         "-num_epochs", "2", "-seed", "7"] + SMALL
+         "-num_epochs", "1", "-seed", "7"] + SMALL
     )
     return dest
 

@@ -91,12 +91,12 @@ def test_graft_entry_compiles_small():
     assert out.shape == (1, 37, 29, 1)
 
 
-@pytest.mark.parametrize("chunk", [8, 16, 32])
+@pytest.mark.parametrize("chunk", [8, 32])
 def test_mc_engine_sharded_chunk_sweep(chunk):
     """VERDICT r1 item 10: the sharded ensemble's mean/std match the
-    single-device run to f32 for every chunk size whose per-device share
-    divides evenly (chunk/8 in {1, 2, 4}), and the chunk->device split is
-    exact (no ragged remainder on the 'data' axis)."""
+    single-device run to f32 at the per-device-share edge cases (chunk/8 of
+    1 and 4), and the chunk->device split is exact (no ragged remainder on
+    the 'data' axis)."""
     from unet_research_tpu.models import DropBlockConfig, UNet, UNetConfig, canonical_config
     from unet_research_tpu.uncertainty import MCDropBlockEngine
 
