@@ -169,6 +169,12 @@ def test_bitplane_expansion_matches_dense_maxpool():
     ).astype(bool)
     np.testing.assert_array_equal(kept == 0.0, dense)
 
+    # the dense-s8 unpack (the shipping path) agrees with the per-element one
+    from unet_research_tpu.ops.dropblock import bitplane_to_dense
+
+    keep_s8 = np.asarray(bitplane_to_dense(planes, h))
+    np.testing.assert_array_equal(keep_s8 == 0, dense)
+
 
 def test_bitplane_and_elementwise_paths_agree_statistically():
     x = jnp.ones((4, 64, 64, 8))

@@ -187,6 +187,46 @@ class _GNParams(nn.Module):
         return scale, bias
 
 
+def group_norm_affine(x, scale, bias, num_groups: int, eps: float, dtype):
+    """GroupNorm (torch GroupNorm semantics: biased variance over
+    (H, W, C/G) per sample, reference training.py:191) with the apply
+    reassociated to one elementwise FMA.
+
+    (x - mean) * rsqrt(var + eps) * scale + bias is algebraically
+    x * a + b with per-(sample, channel) scalars
+      a = rsqrt(var + eps) * scale,   b = bias - mean * a.
+    Writing it this way matters on TPU: flax's nn.GroupNorm casts the full
+    tensor to f32 for (x - mean), and XLA materializes that f32 intermediate
+    at full resolution (measured in the round-3 MC-pass profile: the top-site
+    apply fusions were reading 2.8 GB f32 copies of a 1.4 GB bf16 tensor).
+    Here the only full-size tensors are the bf16 input and output; the f32
+    stats are [N, C] and fold into the producing conv's epilogue reductions.
+    """
+    n, h, w, c = x.shape
+    cg = c // num_groups
+    x32 = x.astype(jnp.float32)
+    # per-channel moments reduce over (H, W) first — XLA input-fuses these
+    # into the producing conv — then combine channels into group moments
+    s1 = jnp.sum(x32, axis=(1, 2))  # [N, C]
+    s2 = jnp.sum(x32 * x32, axis=(1, 2))  # [N, C]
+    g1 = s1.reshape(n, num_groups, cg).sum(-1)
+    g2 = s2.reshape(n, num_groups, cg).sum(-1)
+    cnt = float(h * w * cg)
+    mean = g1 / cnt
+    var = g2 / cnt - mean * mean
+    mul = jax.lax.rsqrt(var + eps)  # [N, G]
+    mul = jnp.repeat(mul, cg, axis=1)  # [N, C]
+    meanc = jnp.repeat(mean, cg, axis=1)
+    a = mul * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - meanc * a
+    # apply in the input dtype (a, b rounded once): if the apply read x32,
+    # XLA would CSE it with the stats' convert and materialize the f32 copy
+    # this function exists to avoid. In f32 mode this is exact.
+    a = a.astype(x.dtype)[:, None, None, :]
+    b = b.astype(x.dtype)[:, None, None, :]
+    return (x * a + b).astype(dtype)
+
+
 class _Layers(nn.Module):
     """Shared helpers: norm / activation / dropblock application."""
 
@@ -203,12 +243,10 @@ class _Layers(nn.Module):
         if self.cfg.norm is None:
             return x
         if self.cfg.norm == "group":
-            return nn.GroupNorm(
-                num_groups=self.cfg.group_norm_groups,
-                epsilon=1e-5,
-                dtype=self.cfg.dtype,
-                name=name,
-            )(x)
+            scale, bias = _GNParams(x.shape[-1], name=name)()
+            return group_norm_affine(
+                x, scale, bias, self.cfg.group_norm_groups, 1e-5, self.cfg.dtype
+            )
         raise ValueError(f"unknown norm {self.cfg.norm}")
 
     def _norm_db_act(self, x, drop_prob, idx: int):
@@ -324,13 +362,20 @@ class DepthToSpaceUpConv(nn.Module):
     def __call__(self, x):
         ci = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (2, 2, ci, self.features))
+        # dot in its natural output order (batch, lhs-free, rhs-free) so the
+        # matmul itself needs no transpose, then pixel-shuffle explicitly in
+        # the storage dtype. (Asking einsum for 'nhiwjf' directly made XLA
+        # run the unavoidable (h,w,i) relayout copy on an f32 intermediate —
+        # 2x the bytes; round-3 profile: 2 x 7.3 ms per chunk at the top
+        # level. The relayout on bf16 is half that, and the f32->bf16
+        # convert fuses into the dot epilogue.)
         y = jnp.einsum(
-            "nhwc,ijcf->nhiwjf",
+            "nhwc,cijf->nhwijf",
             x.astype(self.dtype),
-            kernel.astype(self.dtype),
-        )
-        n, h, _, w, _, f = y.shape
-        y = y.reshape(n, 2 * h, 2 * w, f)
+            jnp.transpose(kernel, (2, 0, 1, 3)).astype(self.dtype),
+        ).astype(self.dtype)
+        n, h, w, _, _, f = y.shape
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(n, 2 * h, 2 * w, f)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias.astype(self.dtype)

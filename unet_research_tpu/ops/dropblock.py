@@ -191,12 +191,12 @@ def _word_shift(a: jax.Array, s: int, hg: int) -> jax.Array:
     return lo_u | hi_u
 
 
-def _expand_planes(seeds: jax.Array, p: int, hg: int) -> jax.Array:
-    """Separable (2p+1) x (2p+1) OR-expansion of seed planes (N,HG,W,C):
-    funnel word-shifts along packed H, rolls along W."""
+def _expand_planes(seeds: jax.Array, p: int, hg: int, w_axis: int = 2) -> jax.Array:
+    """Separable (2p+1) x (2p+1) OR-expansion of seed planes:
+    funnel word-shifts along packed H (axis 1), rolls along W (`w_axis`)."""
     acc = seeds
     for d in range(1, p + 1):
-        acc = acc | jnp.roll(seeds, d, axis=2) | jnp.roll(seeds, -d, axis=2)
+        acc = acc | jnp.roll(seeds, d, axis=w_axis) | jnp.roll(seeds, -d, axis=w_axis)
     # columns rolled across the canvas edge carry seeds the interior column
     # mask zeroed anyway (odd-b draws exclude the border), so roll is safe;
     # height shifts are edge-zeroed in _word_shift.
@@ -224,17 +224,33 @@ def dropblock_mask_bitplane(
     marks row g*32+t dropped; keep (N,) f32 kept-position counts.
     Odd block_size only (the canonical configs; even b falls back to the
     elementwise path in the callers).
+
+    Lane-occupancy rule (v5e, round-3 profile): the generation/expansion
+    word math runs in whichever of two layouts fills the 128 VPU lanes
+    better — (N, HG, W, C) when C >= W (deep, narrow sites) or
+    (N, HG, C, W) when W > C (the top U-Net levels, where C=64 left half
+    the lanes idle and the mask pipeline was ~35% of the whole MC pass).
+    In the W-lanes layout the W-expansion taps become lane rotations and
+    the final swapaxes back to (..., W, C) costs 1/8 the bytes of the
+    dense mask it replaces.
     """
     n, h, w, c = shape
     b = block_size
     p = b // 2
     hg = -(-h // 32)
-    seeds = _seed_planes(key, gamma, (n, hg, w, c))
-    cols = jnp.arange(w, dtype=jnp.int32).reshape(1, 1, w, 1)
+    lanes_w = w > c
+    if lanes_w:
+        seeds = _seed_planes(key, gamma, (n, hg, c, w))
+        cols = jnp.arange(w, dtype=jnp.int32).reshape(1, 1, 1, w)
+        w_axis = 3
+    else:
+        seeds = _seed_planes(key, gamma, (n, hg, w, c))
+        cols = jnp.arange(w, dtype=jnp.int32).reshape(1, 1, w, 1)
+        w_axis = 2
     col_ok = jnp.where((cols >= p) & (cols <= w - 1 - p), -1, 0)
     interior = jnp.asarray(_word_masks_np(h, p, hg)).reshape(1, hg, 1, 1)
     seeds = seeds & col_ok & interior
-    planes = _expand_planes(seeds, p, hg)
+    planes = _expand_planes(seeds, p, hg, w_axis=w_axis)
     cover = jnp.asarray(_word_masks_np(h, 0, hg)).reshape(1, hg, 1, 1)
     planes = planes & cover
     # materialize the word-level planes: without the barrier XLA fuses this
@@ -245,7 +261,30 @@ def dropblock_mask_bitplane(
     dropped = jnp.sum(
         lax.population_count(planes).astype(jnp.float32), axis=(1, 2, 3)
     )
+    if lanes_w:
+        planes = jnp.swapaxes(planes, 2, 3)  # -> (N, HG, W, C) for the unpack
     return planes, float(h * w * c) - dropped
+
+
+def bitplane_to_dense(planes: jax.Array, h: int) -> jax.Array:
+    """Unpack H-packed bit-planes (N, HG, W, C) to a dense s8 KEEP mask
+    (N, h, W, C) (1 = keep, 0 = dropped — the reference's block_mask
+    orientation after inversion, utils_modules.py:61).
+
+    Shape discipline matters here: the unpack is expressed as
+    broadcast -> bit-test -> s8 write in a 5-D (N, HG, 32, W, C) view with
+    NO reshape between the broadcast and its consumer, then one
+    layout-preserving (HG, 32) -> H merge. Round-3 profile: the previous
+    repeat+reshape+slice formulation made XLA materialize the s32 broadcast
+    at 4 B/element (1.4 GB per top site, 2 ms/pass total); this form lowers
+    to a single output fusion writing the 1 B/element mask.
+    """
+    n, hg, w, c = planes.shape
+    tbit = lax.broadcasted_iota(jnp.int32, (1, 1, 32, 1, 1), 2)
+    p5 = planes[:, :, None, :, :]
+    dropped = lax.shift_right_logical(p5, tbit) & 1  # (N, HG, 32, W, C)
+    keep5 = (jnp.int8(1) - dropped.astype(jnp.int8))
+    return keep5.reshape(n, hg * 32, w, c)[:, :h]
 
 
 def apply_bitplane_mask(x: jax.Array, planes: jax.Array, scale) -> jax.Array:
@@ -330,12 +369,15 @@ def dropblock_dependent(
     p = b // 2
     if b % 2 == 1 and fast_rng and bitplane:
         # bit-plane pipeline (module comment above): word ops for the mask
-        # math, elementwise unpack fused into the consumer by XLA. The
-        # whole-batch numel/sum rescale matches the reference exactly
+        # math + popcount keep-count (no full-tensor rescale re-read), then
+        # one dense s8 unpack so the mask-apply keeps input-fusing into the
+        # consuming conv exactly like the elementwise path. The whole-batch
+        # numel/sum rescale matches the reference exactly
         # (utils_modules.py:61-64; at batch 1 they are the same thing).
         planes, keep = dropblock_mask_bitplane(key, gamma, x.shape, b)
-        scale = (float(n * h * w * c) / jnp.sum(keep)) * jnp.ones((n,), jnp.float32)
-        return apply_bitplane_mask(x, planes, scale)
+        scale = float(n * h * w * c) / jnp.sum(keep)
+        dense = bitplane_to_dense(planes, h)
+        return x * dense.astype(x.dtype) * scale.astype(x.dtype)
     if b % 2 == 1:
         # odd b: drawing over the full grid and zeroing the p-wide border is
         # identical to draw-over-valid-centers + ZeroPad2d(p), but the
@@ -392,7 +434,8 @@ def dropblock_independent(
         planes, keep = dropblock_mask_bitplane(key, gamma, x.shape, b)
         keep_frac = jnp.sum(keep) / float(n * h * w * c)
         scale = jnp.where(keep_frac != 0, 1.0 / keep_frac, 1.0)
-        return apply_bitplane_mask(x, planes, scale * jnp.ones((n,), jnp.float32))
+        dense = bitplane_to_dense(planes, h)
+        return x * dense.astype(x.dtype) * scale.astype(x.dtype)
     seeds = _bernoulli(key, gamma, x.shape, fast_rng).astype(x.dtype)
     ex = b // 2
     if ex > 0:
