@@ -93,3 +93,28 @@ def test_block_geometry():
             assert xs.max() - xs.min() == b - 1
             return
     pytest.skip("no single-block draw found")
+
+
+@tpu_only
+def test_mask_producer_kernel():
+    """dropblock_pallas_mask: dense s8 keep-mask + keep counts consistent
+    with each other, with the two-phase kernel's mask (same strip-seeded
+    streams), and with the expected drop statistics."""
+    from unet_research_tpu.ops.dropblock import dropblock_gamma_dependent
+    from unet_research_tpu.ops.pallas.dropblock_kernel import dropblock_pallas_mask
+
+    shape = (4, 96, 80, 8)
+    key = jax.random.PRNGKey(3)
+    gamma = float(dropblock_gamma_dependent(96, 80, 7, 0.15))
+    mask, keep = dropblock_pallas_mask(shape, key, gamma, 7)
+    mask = np.asarray(mask)
+    keep = np.asarray(keep)
+    assert mask.dtype == np.int8 and set(np.unique(mask)) <= {0, 1}
+    # counts match the emitted mask exactly
+    np.testing.assert_allclose(keep, mask.reshape(4, -1).sum(1))
+    # drop rate near the configured drop_prob
+    assert abs(1.0 - mask.mean() - 0.15) < 0.04
+    # identical mask to the two-phase kernel (same (key, sample, strip) streams)
+    x = jnp.ones(shape, jnp.float32)
+    out2 = np.asarray(dropblock_pallas(x, key, gamma, 7))
+    np.testing.assert_array_equal(mask == 0, out2 == 0)

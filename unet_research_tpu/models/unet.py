@@ -77,6 +77,10 @@ class DropBlockConfig:
     # var read once at import); True/False select the bit-plane vs elementwise
     # XLA mask pipeline explicitly.
     bitplane: Optional[bool] = None
+    # Mask pipeline: None (env/bitplane default) | 'elementwise' | 'bitplane'
+    # | 'kernel' (Pallas mask producer — dense s8 mask + keep counts from one
+    # kernel pass, XLA apply). See ops/dropblock.py.
+    mask_impl: Optional[str] = None
 
 
 def _pallas_ok(block_size: int) -> bool:
@@ -322,7 +326,10 @@ class _Layers(nn.Module):
             gamma = dropblock_gamma_independent(h, w, db.block_size, drop_prob)
             return dropblock_pallas_ad(x, key, gamma, db.block_size, True)
         fn = dropblock_dependent if db.kind == "dependent" else dropblock_independent
-        return fn(x, key, drop_prob, db.block_size, bitplane=db.bitplane)
+        return fn(
+            x, key, drop_prob, db.block_size,
+            bitplane=db.bitplane, mask_impl=db.mask_impl,
+        )
 
     def _conv(self, x, features: int, name: str):
         cfg = self.cfg

@@ -35,6 +35,33 @@ from jax import lax
 # also pass `bitplane=` explicitly (e.g. from a config knob).
 BITPLANE_DEFAULT = bool(os.environ.get("UNET_DB_BITPLANE"))
 
+# Mask pipeline selector: 'elementwise' (XLA hash+maxpool), 'bitplane'
+# (XLA word-packed), 'kernel' (Pallas mask PRODUCER: hardware PRNG +
+# in-VMEM expansion emitting the dense s8 mask + keep counts; the apply
+# stays plain XLA so it input-fuses into neighboring epilogues).
+# UNET_DB_IMPL overrides; unset defers to the bitplane bool knobs.
+IMPL_DEFAULT = os.environ.get("UNET_DB_IMPL") or None
+
+
+def _resolve_impl(mask_impl, bitplane) -> str:
+    impl = mask_impl or IMPL_DEFAULT
+    if impl is None:
+        if bitplane is None:
+            bitplane = BITPLANE_DEFAULT
+        impl = "bitplane" if bitplane else "elementwise"
+    if impl not in ("elementwise", "bitplane", "kernel"):
+        raise ValueError(f"unknown dropblock mask_impl {impl!r}")
+    return impl
+
+
+def _kernel_ok(block_size: int) -> bool:
+    if block_size % 2 != 1 or block_size <= 1:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
 
 def dropblock_gamma_dependent(h: int, w: int, block_size: int, drop_prob) -> jax.Array:
     """Gamma for the dependent variant (utils_modules.py:81-82). Unclamped."""
@@ -348,6 +375,7 @@ def dropblock_dependent(
     block_size: int,
     fast_rng: bool = True,
     bitplane: bool | None = None,
+    mask_impl: str | None = None,
 ) -> jax.Array:
     """DropBlock2D-equivalent (reference utils_modules.py:36-82), NHWC.
 
@@ -361,13 +389,22 @@ def dropblock_dependent(
     drop_prob may be a traced scalar: at p=0 the math degrades to identity
     (all-ones block mask, scale 1), so no dynamic branch is needed under jit.
     """
-    if bitplane is None:
-        bitplane = BITPLANE_DEFAULT
+    impl = _resolve_impl(mask_impl, bitplane)
     n, h, w, c = x.shape
     b = block_size
     gamma = dropblock_gamma_dependent(h, w, b, drop_prob)
     p = b // 2
-    if b % 2 == 1 and fast_rng and bitplane:
+    if impl == "kernel" and _kernel_ok(b):
+        # Pallas mask producer: dense s8 keep-mask + popcount keep counts in
+        # one kernel pass; the whole-batch numel/sum rescale matches the
+        # reference exactly (utils_modules.py:61-64) and the x*mask*scale
+        # apply is plain XLA, free to fuse into the consuming conv.
+        from unet_research_tpu.ops.pallas.dropblock_kernel import dropblock_pallas_mask
+
+        dense, keep = dropblock_pallas_mask(x.shape, key, gamma, b)
+        scale = float(n * h * w * c) / jnp.sum(keep)
+        return x * dense.astype(x.dtype) * scale.astype(x.dtype)
+    if b % 2 == 1 and fast_rng and impl == "bitplane":
         # bit-plane pipeline (module comment above): word ops for the mask
         # math + popcount keep-count (no full-tensor rescale re-read), then
         # one dense s8 unpack so the mask-apply keeps input-fusing into the
@@ -413,6 +450,7 @@ def dropblock_independent(
     block_size: int,
     fast_rng: bool = True,
     bitplane: bool | None = None,
+    mask_impl: str | None = None,
 ) -> jax.Array:
     """Dropblock2d_ichan-equivalent (reference utils_modules.py:107-139), NHWC.
 
@@ -423,12 +461,19 @@ def dropblock_independent(
     """
     if block_size % 2 == 0:
         raise ValueError("dropblock_independent requires an odd block_size")
-    if bitplane is None:
-        bitplane = BITPLANE_DEFAULT
+    impl = _resolve_impl(mask_impl, bitplane)
     n, h, w, c = x.shape
     b = block_size
     gamma = dropblock_gamma_independent(h, w, b, drop_prob)
-    if fast_rng and bitplane:
+    if impl == "kernel" and _kernel_ok(b):
+        # guarded 1/mean rescale over the whole batch (utils_modules.py:133-138)
+        from unet_research_tpu.ops.pallas.dropblock_kernel import dropblock_pallas_mask
+
+        dense, keep = dropblock_pallas_mask(x.shape, key, gamma, b)
+        keep_frac = jnp.sum(keep) / float(n * h * w * c)
+        scale = jnp.where(keep_frac != 0, 1.0 / keep_frac, 1.0)
+        return x * dense.astype(x.dtype) * scale.astype(x.dtype)
+    if fast_rng and impl == "bitplane":
         # bit-plane pipeline with the ichan variant's guarded 1/mean rescale
         # over the whole batch (utils_modules.py:133-138)
         planes, keep = dropblock_mask_bitplane(key, gamma, x.shape, b)

@@ -232,6 +232,76 @@ def _apply_kernel(kd_ref, gb_ref, interior_ref, bitpos_ref, scale_ref,
     out_ref[0] = jnp.where(dropped, jnp.zeros((), x_ref.dtype), xs)
 
 
+def _mask_kernel(kd_ref, gb_ref, interior_ref, cover_ref, tpos_ref,
+                 mask_ref, psum_ref, seeds_ref, *, H, b, wg, c, Ht):
+    """Single-phase mask PRODUCER: dense s8 keep-mask tile + per-tile drop
+    counts. Unlike `_apply_kernel` this kernel sits outside the activation
+    dataflow — it reads nothing and writes 1 B/element, so the model's
+    mask*x apply stays an ordinary XLA elementwise op that input-fuses into
+    the GroupNorm/ReLU epilogue for free (the round-2 lesson: a custom call
+    in the APPLY position forfeits that fusion and its 2R+1W erases any
+    generation win, PERF.md round 2)."""
+    n = pl.program_id(0)
+    ht = pl.program_id(1)
+    row0 = ht * Ht
+    block = _gen_block_words(seeds_ref, interior_ref, kd_ref[0], kd_ref[1],
+                             gb_ref[0], n, row0,
+                             H=H, b=b, wg=wg, lanes=c, Ht=Ht)
+    blockc = block & cover_ref[...]  # drop expansion spill into packing pad
+    counts = lax.population_count(blockc)
+    row3 = lax.broadcasted_iota(jnp.int32, (Ht, wg, c), 0)
+    valid = (row3 + row0) < H  # ragged last tile
+    psum_ref[n, ht] = jnp.sum(jnp.where(valid, counts, 0).astype(jnp.float32))
+    w = mask_ref.shape[2]
+    planes = pltpu.repeat(block, -(-w // wg), axis=1)[:, :w, :]
+    # arithmetic bit extraction (no i1->i8 select: Mosaic cannot relayout an
+    # (8,128)-tiled i1 mask onto the (32,128) i8 tiling); the i32 0/1 keep
+    # value converts (packs) to s8 directly
+    dropped01 = lax.shift_right_logical(planes, tpos_ref[...][None, :, :]) & 1
+    mask_ref[0] = (1 - dropped01).astype(jnp.int8)
+
+
+def dropblock_pallas_mask(shape, key, gamma, block_size: int, interpret=False):
+    """Dense s8 keep-mask (N,H,W,C) + keep counts (N,) in ONE kernel pass.
+
+    The consumer multiplies x * mask * scale in plain XLA (which fuses it
+    into neighboring epilogues); scale comes from the keep counts exactly as
+    in the pure-XLA paths (reference utils_modules.py:61-64 / 133-138).
+    HBM cost: one 1 B/element write — the same bytes the XLA bit-plane
+    pipeline's dense unpack writes — but generation, expansion, count and
+    unpack all run in-VMEM on hardware PRNG words."""
+    n, h, w, c, b, wg, kd, gb, interior, cover = _prep(shape, key, gamma, block_size)
+    ht = _pick_ht(h, w, c)
+    n_htiles = pl.cdiv(h, ht)
+    tpos = jnp.asarray((np.arange(w, dtype=np.int32) // wg).reshape(w, 1))
+
+    kernel = functools.partial(_mask_kernel, H=h, b=b, wg=wg, c=c, Ht=ht)
+    mask, psums = pl.pallas_call(
+        kernel,
+        grid=(n, n_htiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ht, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w, c), jnp.int8),
+            jax.ShapeDtypeStruct((n, n_htiles), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((ht + 2 * _STRIP, wg, c), jnp.int32)],
+        interpret=interpret,
+    )(kd, gb, interior, cover, tpos)
+    keep = float(h) * w * c - jnp.sum(psums, axis=1)
+    return mask, keep
+
+
 def _prep(x_shape, key, gamma, block_size):
     n, h, w, c = x_shape
     b = block_size
