@@ -187,3 +187,23 @@ def test_bitplane_and_elementwise_paths_agree_statistically():
     for out in (out_bp, out_el):
         kept = out[out > 0]
         np.testing.assert_allclose(kept, out.size / np.count_nonzero(out), rtol=1e-3)
+
+
+def test_mask_impl_dispatch():
+    """mask_impl knob: explicit names select pipelines; 'kernel' falls back
+    to elementwise off-TPU (no Pallas import); unknown names raise."""
+    from unet_research_tpu.ops.dropblock import dropblock_independent
+
+    x = jnp.ones((2, 48, 48, 4))
+    key = jax.random.PRNGKey(9)
+    out_el = np.asarray(dropblock_dependent(x, key, 0.15, 7, mask_impl="elementwise"))
+    out_bp = np.asarray(dropblock_dependent(x, key, 0.15, 7, mask_impl="bitplane"))
+    # CPU backend: 'kernel' is not supported -> elementwise fallback, exact match
+    out_k = np.asarray(dropblock_dependent(x, key, 0.15, 7, mask_impl="kernel"))
+    np.testing.assert_array_equal(out_k, out_el)
+    assert abs((out_bp == 0).mean() - (out_el == 0).mean()) < 0.06
+    out_ik = np.asarray(dropblock_independent(x, key, 0.15, 7, mask_impl="kernel"))
+    out_iel = np.asarray(dropblock_independent(x, key, 0.15, 7, mask_impl="elementwise"))
+    np.testing.assert_array_equal(out_ik, out_iel)
+    with pytest.raises(ValueError):
+        dropblock_dependent(x, key, 0.15, 7, mask_impl="bogus")
