@@ -139,56 +139,6 @@ def test_linear_drop_prob_schedule():
     assert float(jitted(5000)) == pytest.approx(0.15)
 
 
-def test_bitplane_expansion_matches_dense_maxpool():
-    # pack a known random seed pattern into H-axis bit-planes, expand with
-    # the word-shift machinery, unpack, and compare against the dense
-    # stride-1 max-pool expansion of the same seeds
-    from unet_research_tpu.ops.dropblock import (
-        _block_expand_max,
-        _expand_planes,
-        apply_bitplane_mask,
-    )
-
-    rng = np.random.default_rng(3)
-    n, h, w, c, b = 2, 45, 37, 3, 7
-    p = b // 2
-    seeds = rng.random((n, h, w, c)) < 0.01
-    seeds[:, :p] = seeds[:, h - p:] = 0
-    seeds[:, :, :p] = seeds[:, :, w - p:] = 0
-
-    hg = -(-h // 32)
-    packed = np.zeros((n, hg, w, c), np.uint32)
-    for q in range(h):
-        packed[:, q // 32] |= seeds[:, q].astype(np.uint32) << np.uint32(q % 32)
-    planes = _expand_planes(jnp.asarray(packed.view(np.int32)), p, hg)
-
-    ones = jnp.ones((n, h, w, c), jnp.float32)
-    kept = np.asarray(apply_bitplane_mask(ones, planes, 1.0))
-    dense = np.asarray(
-        _block_expand_max(jnp.asarray(seeds, jnp.int8), b)
-    ).astype(bool)
-    np.testing.assert_array_equal(kept == 0.0, dense)
-
-    # the dense-s8 unpack (the shipping path) agrees with the per-element one
-    from unet_research_tpu.ops.dropblock import bitplane_to_dense
-
-    keep_s8 = np.asarray(bitplane_to_dense(planes, h))
-    np.testing.assert_array_equal(keep_s8 == 0, dense)
-
-
-def test_bitplane_and_elementwise_paths_agree_statistically():
-    x = jnp.ones((4, 64, 64, 8))
-    key = jax.random.PRNGKey(5)
-    out_el = np.asarray(dropblock_dependent(x, key, 0.15, 7))
-    out_bp = np.asarray(dropblock_dependent(x, key, 0.15, 7, bitplane=True))
-    # same target drop rate from either pipeline (different RNG streams)
-    assert abs((out_bp == 0).mean() - (out_el == 0).mean()) < 0.05
-    # both rescale kept values to numel/sum
-    for out in (out_bp, out_el):
-        kept = out[out > 0]
-        np.testing.assert_allclose(kept, out.size / np.count_nonzero(out), rtol=1e-3)
-
-
 def test_mask_impl_dispatch():
     """mask_impl knob: explicit names select pipelines; 'kernel' falls back
     to elementwise off-TPU (no Pallas import); unknown names raise."""
@@ -197,11 +147,9 @@ def test_mask_impl_dispatch():
     x = jnp.ones((2, 48, 48, 4))
     key = jax.random.PRNGKey(9)
     out_el = np.asarray(dropblock_dependent(x, key, 0.15, 7, mask_impl="elementwise"))
-    out_bp = np.asarray(dropblock_dependent(x, key, 0.15, 7, mask_impl="bitplane"))
     # CPU backend: 'kernel' is not supported -> elementwise fallback, exact match
     out_k = np.asarray(dropblock_dependent(x, key, 0.15, 7, mask_impl="kernel"))
     np.testing.assert_array_equal(out_k, out_el)
-    assert abs((out_bp == 0).mean() - (out_el == 0).mean()) < 0.06
     out_ik = np.asarray(dropblock_independent(x, key, 0.15, 7, mask_impl="kernel"))
     out_iel = np.asarray(dropblock_independent(x, key, 0.15, 7, mask_impl="elementwise"))
     np.testing.assert_array_equal(out_ik, out_iel)

@@ -1,9 +1,10 @@
-"""Pallas fused dropblock kernel tests.
+"""Pallas mask-producer dropblock kernel tests.
 
 Full semantics run on TPU (skipped on the CPU test mesh — hardware PRNG);
 tests assert the same invariants the pure-XLA goldens satisfy: drop-rate
-statistics, exact per-sample rescale, key independence, identity at gamma=0,
-block geometry, and VJP correctness (bwd == mask-apply of the cotangent).
+statistics, count/mask consistency, key independence, identity at gamma=0,
+and block geometry. The bit-plane expansion helper is pure jnp and is
+covered off-TPU.
 """
 
 import jax
@@ -12,8 +13,8 @@ import numpy as np
 import pytest
 
 from unet_research_tpu.ops.pallas.dropblock_kernel import (
-    dropblock_pallas,
-    dropblock_pallas_ad,
+    dropblock_pallas_mask,
+    expand_bit_planes,
     pallas_dropblock_supported,
 )
 
@@ -29,79 +30,35 @@ def test_supported_predicate():
     assert not pallas_dropblock_supported(19)
 
 
+def test_expand_bit_planes_matches_dense():
+    """The interleaved-word width expansion equals a dense separable OR
+    (pure jnp, runs on CPU). Positions q = t*WG + g over W=70, WG=3."""
+    rng = np.random.default_rng(0)
+    w, wg, p = 70, 3, 3
+    dense = (rng.random((8, wg * 32)) < 0.03).astype(np.uint32)
+    dense[:, w:] = 0
+    # pack: bit t of word g = position t*wg + g
+    words = np.zeros((8, wg), np.uint32)
+    for q in range(w):
+        t, g = divmod(q, wg)
+        words[:, g] |= dense[:, q] << t
+    planes = jnp.asarray(words.view(np.int32)).reshape(8, wg, 1)
+    out = np.asarray(expand_bit_planes(planes, p, wg=wg)).reshape(8, wg)
+    # reference: dense OR over +-p
+    ref = np.zeros_like(dense)
+    for s in range(-p, p + 1):
+        lo, hi = max(0, -s), min(wg * 32, wg * 32 - s)
+        ref[:, lo:hi] |= dense[:, lo + s : hi + s]
+    got = np.zeros_like(dense)
+    for q in range(wg * 32):
+        t, g = divmod(q, wg)
+        got[:, q] = (out[:, g].view(np.uint32) >> t) & 1
+    np.testing.assert_array_equal(got[:, :w], ref[:, :w])
+
+
 @tpu_only
-def test_statistics_and_scale():
+def test_statistics_and_counts():
     from unet_research_tpu.ops.dropblock import dropblock_gamma_dependent
-
-    x = jnp.ones((4, 64, 64, 8), jnp.float32)
-    gamma = dropblock_gamma_dependent(64, 64, 7, 0.15)
-    out = np.asarray(dropblock_pallas(x, jax.random.PRNGKey(0), gamma, 7))
-    assert np.isfinite(out).all()
-    assert abs((out == 0).mean() - 0.15) < 0.04
-    # per-sample rescale: kept values in each sample equal numel/sum(keep)
-    for i in range(4):
-        kept = out[i][out[i] > 0]
-        if kept.size:
-            expected = out[i].size / np.count_nonzero(out[i])
-            np.testing.assert_allclose(kept, expected, rtol=1e-4)
-    # samples draw independent masks from one call
-    assert ((out[0] == 0) != (out[1] == 0)).any()
-
-
-@tpu_only
-def test_key_independence_and_identity():
-    x = jnp.ones((1, 48, 40, 4), jnp.float32)
-    a = np.asarray(dropblock_pallas(x, jax.random.PRNGKey(1), 0.01, 5))
-    b = np.asarray(dropblock_pallas(x, jax.random.PRNGKey(2), 0.01, 5))
-    assert ((a == 0) != (b == 0)).any()
-    ident = np.asarray(dropblock_pallas(x, jax.random.PRNGKey(1), 0.0, 5))
-    np.testing.assert_allclose(ident, 1.0)
-
-
-@tpu_only
-def test_vjp_is_mask_apply():
-    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 4), np.float32))
-    key = jax.random.PRNGKey(3)
-
-    f = lambda x: jnp.sum(dropblock_pallas_ad(x, key, 0.02, 5) * 3.0)
-    g = jax.grad(f)(x)
-    out = dropblock_pallas(x, key, 0.02, 5)
-    # grad of sum(3*x*keep*scale) = 3*keep*scale; compare via masked pattern
-    mask = np.asarray(out) != 0
-    gn = np.asarray(g)
-    assert (gn[~mask] == 0).all()
-    if mask.any():
-        # kept entries: grad = 3 * scale (per sample)
-        for i in range(2):
-            sel = mask[i]
-            if sel.any():
-                scale = out.size // 2 / np.count_nonzero(np.asarray(out)[i])
-                np.testing.assert_allclose(gn[i][sel], 3.0 * scale, rtol=1e-3)
-
-
-@tpu_only
-def test_block_geometry():
-    # a sparse draw must produce axis-aligned b x b zero blocks
-    b = 5
-    x = jnp.ones((1, 40, 40, 1), jnp.float32)
-    for s in range(50):
-        out = np.asarray(dropblock_pallas(x, jax.random.PRNGKey(s), 0.002, b))
-        nz = out[0, :, :, 0] == 0
-        if nz.sum() == b * b:
-            ys, xs = np.where(nz)
-            assert ys.max() - ys.min() == b - 1
-            assert xs.max() - xs.min() == b - 1
-            return
-    pytest.skip("no single-block draw found")
-
-
-@tpu_only
-def test_mask_producer_kernel():
-    """dropblock_pallas_mask: dense s8 keep-mask + keep counts consistent
-    with each other, with the two-phase kernel's mask (same strip-seeded
-    streams), and with the expected drop statistics."""
-    from unet_research_tpu.ops.dropblock import dropblock_gamma_dependent
-    from unet_research_tpu.ops.pallas.dropblock_kernel import dropblock_pallas_mask
 
     shape = (4, 96, 80, 8)
     key = jax.random.PRNGKey(3)
@@ -114,7 +71,47 @@ def test_mask_producer_kernel():
     np.testing.assert_allclose(keep, mask.reshape(4, -1).sum(1))
     # drop rate near the configured drop_prob
     assert abs(1.0 - mask.mean() - 0.15) < 0.04
-    # identical mask to the two-phase kernel (same (key, sample, strip) streams)
-    x = jnp.ones(shape, jnp.float32)
-    out2 = np.asarray(dropblock_pallas(x, key, gamma, 7))
-    np.testing.assert_array_equal(mask == 0, out2 == 0)
+    # samples draw independent masks from one call
+    assert (mask[0] != mask[1]).any()
+
+
+@tpu_only
+def test_key_independence_and_identity():
+    shape = (1, 48, 40, 4)
+    a, _ = dropblock_pallas_mask(shape, jax.random.PRNGKey(1), 0.01, 5)
+    b, _ = dropblock_pallas_mask(shape, jax.random.PRNGKey(2), 0.01, 5)
+    assert (np.asarray(a) != np.asarray(b)).any()
+    ident, keep = dropblock_pallas_mask(shape, jax.random.PRNGKey(1), 0.0, 5)
+    np.testing.assert_array_equal(np.asarray(ident), 1)
+    np.testing.assert_allclose(np.asarray(keep), 48 * 40 * 4)
+
+
+@tpu_only
+def test_block_geometry():
+    # a sparse draw must produce axis-aligned b x b zero blocks
+    b = 5
+    for s in range(50):
+        mask, _ = dropblock_pallas_mask((1, 40, 40, 1), jax.random.PRNGKey(s), 0.002, b)
+        nz = np.asarray(mask)[0, :, :, 0] == 0
+        if nz.sum() == b * b:
+            ys, xs = np.where(nz)
+            assert ys.max() - ys.min() == b - 1
+            assert xs.max() - xs.min() == b - 1
+            return
+    pytest.skip("no single-block draw found")
+
+
+@tpu_only
+def test_model_path_kernel_impl():
+    """mask_impl='kernel' through dropblock_dependent: correct rescale and
+    finite output on TPU."""
+    from unet_research_tpu.ops.dropblock import dropblock_dependent
+
+    x = jnp.ones((4, 64, 64, 8), jnp.float32)
+    out = np.asarray(dropblock_dependent(x, jax.random.PRNGKey(0), 0.15, 7,
+                                         mask_impl="kernel"))
+    assert np.isfinite(out).all()
+    assert abs((out == 0).mean() - 0.15) < 0.04
+    kept = out[out > 0]
+    if kept.size:
+        np.testing.assert_allclose(kept, out.size / np.count_nonzero(out), rtol=1e-4)

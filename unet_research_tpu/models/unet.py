@@ -53,8 +53,6 @@ class DropBlockConfig:
 
     kind: 'dependent' (DropBlock2D) | 'independent' (Dropblock2d_ichan) | None.
     The linear schedule fields mirror LinearScheduler(start, stop, nr_steps).
-    use_pallas: allow the fused TPU kernel on the hot path (falls back to the
-    pure-XLA implementation off-TPU or for even block sizes).
     """
 
     kind: Optional[str] = "dependent"
@@ -64,32 +62,11 @@ class DropBlockConfig:
     start_drop_prob: float = 0.0
     max_drop_prob: float = 0.2
     nr_steps: int = 500
-    # True routes the conv epilogue (GroupNorm -> dropblock -> ReLU) to the
-    # fused two-phase Pallas kernel (ops/pallas/fused_gn_dropblock.py) and
-    # SkipMerge sites to the standalone bit-packed kernel. Both are correct
-    # and TPU-tested, but the pure-XLA bit-plane pipeline (ops/dropblock.py)
-    # currently measures fastest end-to-end on v5e (the custom-call boundary
-    # denies XLA the epilogue fusion that the jnp formulation gets for
-    # free), so the default stays False. See PERF.md for the measured
-    # ladder.
-    use_pallas: bool = False
-    # None defers to ops.dropblock.BITPLANE_DEFAULT (the UNET_DB_BITPLANE env
-    # var read once at import); True/False select the bit-plane vs elementwise
-    # XLA mask pipeline explicitly.
-    bitplane: Optional[bool] = None
-    # Mask pipeline: None (env/bitplane default) | 'elementwise' | 'bitplane'
-    # | 'kernel' (Pallas mask producer — dense s8 mask + keep counts from one
-    # kernel pass, XLA apply). See ops/dropblock.py.
+    # Mask pipeline: None (UNET_DB_IMPL env default) | 'elementwise' (XLA,
+    # fastest measured end-to-end) | 'kernel' (Pallas mask producer — dense
+    # s8 mask + keep counts from one kernel pass, XLA apply). See
+    # ops/dropblock.py and PERF.md for the measured ladder.
     mask_impl: Optional[str] = None
-
-
-def _pallas_ok(block_size: int) -> bool:
-    if block_size % 2 != 1 or block_size <= 1:
-        return False
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -255,81 +232,21 @@ class _Layers(nn.Module):
 
     def _norm_db_act(self, x, drop_prob, idx: int):
         """The conv epilogue norm -> dropblock -> act (reference conv block
-        order, utils_unet.py:215-258). On TPU with `use_pallas` this runs as
-        ONE fused two-phase Pallas kernel (ops/pallas/fused_gn_dropblock.py):
-        GroupNorm already pays a stats pass + an apply pass over HBM, and the
-        bit-packed dropblock mask is generated inside those passes, so the
-        mask costs no extra HBM traffic on the MC hot loop."""
-        cfg = self.cfg
-        db = cfg.dropblock
-        fuse = (
-            db.use_pallas
-            and db.kind is not None
-            and drop_prob is not None
-            and cfg.norm == "group"
-            and cfg.activation == "relu"
-            and _pallas_ok(db.block_size)
-            and x.shape[-1] % cfg.group_norm_groups == 0
-        )
-        if not fuse:
-            x = self._norm(x, name=f"norm{idx}")
-            x = self._dropblock(x, drop_prob)
-            return self._act(x)
-
-        from unet_research_tpu.ops.dropblock import (
-            dropblock_gamma_dependent,
-            dropblock_gamma_independent,
-        )
-        from unet_research_tpu.ops.pallas.fused_gn_dropblock import (
-            gn_dropblock_relu_ad,
-        )
-
-        scale, bias = _GNParams(x.shape[-1], name=f"norm{idx}")()
-        key = self.make_rng("dropblock")
-        h, w = x.shape[-3], x.shape[-2]
-        if db.kind == "dependent":
-            gamma = dropblock_gamma_dependent(h, w, db.block_size, drop_prob)
-            guard = False
-        else:
-            gamma = dropblock_gamma_independent(h, w, db.block_size, drop_prob)
-            guard = True
-        return gn_dropblock_relu_ad(
-            x, scale, bias, key, gamma,
-            cfg.group_norm_groups, db.block_size, guard,
-        )
+        order, utils_unet.py:215-258)."""
+        x = self._norm(x, name=f"norm{idx}")
+        x = self._dropblock(x, drop_prob)
+        return self._act(x)
 
     def _dropblock(self, x, drop_prob):
         """Apply dropblock when a drop_prob is threaded in (drop_prob=None is
         the static 'module in eval mode / no dropblock configured' path).
-
-        On TPU with odd block sizes this dispatches to the fused Pallas
-        kernel (ops/pallas/dropblock_kernel.py) — hardware PRNG + in-VMEM
-        block expansion, one HBM pass; elsewhere the pure-XLA reference
-        implementation runs."""
+        The mask pipeline is selected by DropBlockConfig.mask_impl."""
         db = self.cfg.dropblock
         if db.kind is None or drop_prob is None:
             return x
         key = self.make_rng("dropblock")
-        if db.use_pallas and _pallas_ok(db.block_size):
-            from unet_research_tpu.ops.dropblock import (
-                dropblock_gamma_dependent,
-                dropblock_gamma_independent,
-            )
-            from unet_research_tpu.ops.pallas.dropblock_kernel import (
-                dropblock_pallas_ad,
-            )
-
-            h, w = x.shape[-3], x.shape[-2]
-            if db.kind == "dependent":
-                gamma = dropblock_gamma_dependent(h, w, db.block_size, drop_prob)
-                return dropblock_pallas_ad(x, key, gamma, db.block_size, False)
-            gamma = dropblock_gamma_independent(h, w, db.block_size, drop_prob)
-            return dropblock_pallas_ad(x, key, gamma, db.block_size, True)
         fn = dropblock_dependent if db.kind == "dependent" else dropblock_independent
-        return fn(
-            x, key, drop_prob, db.block_size,
-            bitplane=db.bitplane, mask_impl=db.mask_impl,
-        )
+        return fn(x, key, drop_prob, db.block_size, mask_impl=db.mask_impl)
 
     def _conv(self, x, features: int, name: str):
         cfg = self.cfg

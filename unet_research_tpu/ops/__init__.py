@@ -12,12 +12,10 @@ from unet_research_tpu.ops.image import (
     center_crop,
 )
 from unet_research_tpu.ops.dropblock import (
-    apply_bitplane_mask,
     dropblock_dependent,
     dropblock_independent,
     dropblock_gamma_dependent,
     dropblock_gamma_independent,
-    dropblock_mask_bitplane,
     linear_drop_prob,
 )
 from unet_research_tpu.ops.losses import bce_loss, masked_rescaled_bce

@@ -1,12 +1,9 @@
-"""Fused DropBlock mask generation as bit-packed Pallas TPU kernels.
+"""DropBlock mask PRODUCER as a bit-packed Pallas TPU kernel.
 
-Why bit-packed: the DropBlock pipeline is VPU-compute-bound, not HBM-bound —
-one MC pass of the canonical U-Net touches ~253M mask elements across 22
-dropblock sites, and at the VPU's 8x128 lanes/cycle every vector op per mask
-element costs ~0.25 ms/pass. The XLA composition (ops/dropblock.py) spends
-~12 hash ops + 14 expansion taps per element. Here the whole mask lives as
-int32 bit-planes — 32 mask positions per word — so generation, block
-expansion and the keep-count cost ~1/32nd the vector ops:
+One kernel pass emits the dense s8 keep-mask (N,H,W,C) plus per-sample keep
+counts. The mask math runs on int32 BIT-PLANES — 32 mask positions per
+word — so generation, block expansion and the keep-count cost ~1/32nd the
+vector ops of an elementwise formulation:
 
 - Bernoulli(gamma) seeds are drawn with a bitwise 'U < gamma' comparator:
   KBITS=16 rounds of hardware PRNG words combine into one seed bit-plane
@@ -16,37 +13,34 @@ expansion and the keep-count cost ~1/32nd the vector ops:
   (interleaved mapping, below) — ~1 op per mask element total.
 - The per-sample rescale's keep-count is a popcount over words.
 
-Two phases (each regenerates the identical mask from strip-seeded streams):
-phase 1 (`_sum_kernel`) emits only per-tile keep counts — no tensor I/O;
-phase 2 (`_apply_kernel`) reads x once and writes x * keep * scale once.
+The kernel sits OUTSIDE the activation dataflow: it reads nothing and
+writes 1 B/element, so the model's mask*x apply stays an ordinary XLA
+elementwise op that can input-fuse into the GroupNorm/ReLU epilogues. (The
+round-2/3 lesson, measured twice: a custom call in the APPLY position
+forfeits those fusions and its 2R+1W of x erases any generation win —
+PERF.md. Even this producer form only ties the pure-XLA elementwise
+pipeline end-to-end, 103.4 vs 104.0 MC passes/s, because the custom-call
+boundary still perturbs XLA's fusion choices around it; it ships as the
+one alternative pipeline, `mask_impl='kernel'`.)
 
 Bit<->position mapping (interleaved): bit t of word g holds width position
 q = t*WG + g (WG words of 32 bits cover W; lanes carry C). This makes
 unpacking a single `pltpu.repeat` (tile semantics: output sublane
-q = t*WG + g is copy t of word g) plus an AND with a per-sublane bit mask.
+q = t*WG + g is copy t of word g) plus a per-sublane bit extraction.
 A shift by k positions decomposes into a sublane shift of k%WG plus a
 logical bit-shift of k//WG (with a carry select at the word-wrap boundary).
-
-(An earlier variant lane-folded W-parity into the lane dim at C=64 to fill
-all 128 VPU lanes during generation; it measured *slower* end-to-end —
-62.8 vs 68.6 MC passes/s — because the (N,H,W//2,2C) view of x forces a
-physical relayout at every C=64 site. Generation is cheap either way; the
-fold was removed. The real fusion win is ops/pallas/fused_gn_dropblock.py,
-which rides GroupNorm's existing HBM passes.)
 
 Semantics match ops.dropblock for ODD block sizes (the canonical
 block_size=7): seeds ~ Bernoulli(gamma) over the interior (border of b//2
 excluded — equivalent to the dependent variant's valid-center + zero-pad
 construction, reference utils_modules.py:36-82), expanded to b x b blocks,
-inverted, applied, rescaled per sample (numel/sum, utils_modules.py:61-64).
-The RNG stream differs from jax.random (hardware PRNG) and gamma is
-16-bit-quantized — allowed: masks need the right distribution, not
+inverted. The RNG stream differs from jax.random (hardware PRNG) and gamma
+is 16-bit-quantized — allowed: masks need the right distribution, not
 bit-parity with any host RNG.
 
 Strip-aligned generation keeps tiles independent with no cross-tile
 communication: every global 8-row strip draws from a stream seeded by
-(key, sample, strip), so halo rows, the phase-2 replay, AND the fused
-GN-epilogue kernel's replay (fused_gn_dropblock.py) are all bit-identical.
+(key, sample, strip), so halo rows replay bit-identically across tiles.
 """
 
 from __future__ import annotations
@@ -69,10 +63,10 @@ def pallas_dropblock_supported(block_size: int) -> bool:
 
 
 def _pick_ht(h: int, w: int, c: int, budget: int = 14 * 2**20) -> int:
-    """Rows per x tile in phase 2 against XLA's 16M *scoped* vmem limit for
-    custom calls (a 48M budget OOMed at compile on the (N,74,72,1024) skip
-    sites). ~20 bytes/element: bf16 x/out double-buffered + the broadcast
-    int32 bit plane + select temps (measured 18.2B/elem at (16,74,72,512))."""
+    """Rows per output tile against XLA's 16M *scoped* vmem limit for custom
+    calls (a 48M budget OOMed at compile on the (N,74,72,1024) skip sites).
+    ~20 bytes/element: s8 mask double-buffered + the broadcast int32 bit
+    plane + select temps (measured 18.2B/elem at (16,74,72,512))."""
     per_row = max(1, w * c * 20)
     rows = min(h, max(1, budget // per_row))
     return max(_STRIP, (rows // _STRIP) * _STRIP)
@@ -145,12 +139,6 @@ def _interior_words_np(w: int, p: int, wg: int) -> np.ndarray:
     return out.view(np.int32)
 
 
-def _bitpos_np(w: int, wg: int) -> np.ndarray:
-    """(W, 1) int32: the unpack mask 1 << (w // WG) per output sublane."""
-    t = np.arange(w, dtype=np.uint32) // np.uint32(wg)
-    return (np.uint32(1) << t).view(np.int32).reshape(w, 1)
-
-
 def _gen_seed_words(seeds_ref, interior_ref, kd0, kd1, gamma_bits, n, row0,
                     *, H, p, wg, lanes, Ht):
     """Fill the bit-plane scratch for this tile + halo strips: KBITS rounds
@@ -197,50 +185,10 @@ def _gen_block_words(seeds_ref, interior_ref, kd0, kd1, gamma_bits, n, row0,
     return expand_bit_planes(acc, p, wg=wg)
 
 
-def _sum_kernel(kd_ref, gb_ref, interior_ref, cover_ref, psum_ref, seeds_ref,
-                *, H, b, wg, c, Ht):
-    n = pl.program_id(0)
-    ht = pl.program_id(1)
-    row0 = ht * Ht
-    block = _gen_block_words(seeds_ref, interior_ref, kd_ref[0], kd_ref[1],
-                             gb_ref[0], n, row0,
-                             H=H, b=b, wg=wg, lanes=c, Ht=Ht)
-    block = block & cover_ref[...]  # drop expansion spill into packing pad
-    counts = lax.population_count(block)
-    row3 = lax.broadcasted_iota(jnp.int32, (Ht, wg, c), 0)
-    valid = (row3 + row0) < H  # ragged last tile
-    dropped = jnp.sum(jnp.where(valid, counts, 0).astype(jnp.float32))
-    # keep = total positions - dropped; totals are added once outside
-    psum_ref[n, ht] = dropped
-
-
-def _apply_kernel(kd_ref, gb_ref, interior_ref, bitpos_ref, scale_ref,
-                  x_ref, out_ref, seeds_ref,
-                  *, H, b, wg, c, Ht):
-    n = pl.program_id(0)
-    ht = pl.program_id(1)
-    row0 = ht * Ht
-    block = _gen_block_words(seeds_ref, interior_ref, kd_ref[0], kd_ref[1],
-                             gb_ref[0], n, row0,
-                             H=H, b=b, wg=wg, lanes=c, Ht=Ht)
-    # unpack: tile-repeat puts copy t of word g at sublane t*WG + g — exactly
-    # the interleaved mapping; AND with the per-sublane bit mask
-    w = x_ref.shape[2]
-    planes = pltpu.repeat(block, -(-w // wg), axis=1)[:, :w, :]
-    dropped = (planes & bitpos_ref[...]) != 0
-    xs = x_ref[0] * scale_ref[n].astype(x_ref.dtype)
-    out_ref[0] = jnp.where(dropped, jnp.zeros((), x_ref.dtype), xs)
-
-
 def _mask_kernel(kd_ref, gb_ref, interior_ref, cover_ref, tpos_ref,
                  mask_ref, psum_ref, seeds_ref, *, H, b, wg, c, Ht):
-    """Single-phase mask PRODUCER: dense s8 keep-mask tile + per-tile drop
-    counts. Unlike `_apply_kernel` this kernel sits outside the activation
-    dataflow — it reads nothing and writes 1 B/element, so the model's
-    mask*x apply stays an ordinary XLA elementwise op that input-fuses into
-    the GroupNorm/ReLU epilogue for free (the round-2 lesson: a custom call
-    in the APPLY position forfeits that fusion and its 2R+1W erases any
-    generation win, PERF.md round 2)."""
+    """Mask-producer kernel body: dense s8 keep-mask tile + per-tile drop
+    counts (summed over the valid rows of this tile)."""
     n = pl.program_id(0)
     ht = pl.program_id(1)
     row0 = ht * Ht
@@ -261,15 +209,33 @@ def _mask_kernel(kd_ref, gb_ref, interior_ref, cover_ref, tpos_ref,
     mask_ref[0] = (1 - dropped01).astype(jnp.int8)
 
 
+def _prep(x_shape, key, gamma, block_size):
+    n, h, w, c = x_shape
+    b = block_size
+    p = b // 2
+    wg = -(-w // 32)
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2].astype(jnp.int32)
+    # stop_gradient: the mask is a deterministic function of (key, gamma) and
+    # never differentiated; this keeps autodiff from trying to linearize the
+    # pallas_call when gamma rides a traced drop-prob schedule
+    g = lax.stop_gradient(jnp.asarray(gamma, jnp.float32))
+    gb = jnp.clip(jnp.round(g * (1 << KBITS)),
+                  0, (1 << KBITS) - 1).astype(jnp.int32).reshape(1)
+    interior = jnp.asarray(_interior_words_np(w, p, wg))
+    cover = jnp.asarray(_interior_words_np(w, 0, wg))
+    return n, h, w, c, b, wg, kd, gb, interior, cover
+
+
 def dropblock_pallas_mask(shape, key, gamma, block_size: int, interpret=False):
     """Dense s8 keep-mask (N,H,W,C) + keep counts (N,) in ONE kernel pass.
 
     The consumer multiplies x * mask * scale in plain XLA (which fuses it
     into neighboring epilogues); scale comes from the keep counts exactly as
     in the pure-XLA paths (reference utils_modules.py:61-64 / 133-138).
-    HBM cost: one 1 B/element write — the same bytes the XLA bit-plane
-    pipeline's dense unpack writes — but generation, expansion, count and
+    HBM cost: one 1 B/element write; generation, expansion, count and
     unpack all run in-VMEM on hardware PRNG words."""
+    if not pallas_dropblock_supported(block_size):
+        raise ValueError("pallas dropblock requires odd 1 < block_size <= 17")
     n, h, w, c, b, wg, kd, gb, interior, cover = _prep(shape, key, gamma, block_size)
     ht = _pick_ht(h, w, c)
     n_htiles = pl.cdiv(h, ht)
@@ -300,137 +266,3 @@ def dropblock_pallas_mask(shape, key, gamma, block_size: int, interpret=False):
     )(kd, gb, interior, cover, tpos)
     keep = float(h) * w * c - jnp.sum(psums, axis=1)
     return mask, keep
-
-
-def _prep(x_shape, key, gamma, block_size):
-    n, h, w, c = x_shape
-    b = block_size
-    p = b // 2
-    wg = -(-w // 32)
-    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2].astype(jnp.int32)
-    gb = jnp.clip(jnp.round(jnp.asarray(gamma, jnp.float32) * (1 << KBITS)),
-                  0, (1 << KBITS) - 1).astype(jnp.int32).reshape(1)
-    interior = jnp.asarray(_interior_words_np(w, p, wg))
-    cover = jnp.asarray(_interior_words_np(w, 0, wg))
-    return n, h, w, c, b, wg, kd, gb, interior, cover
-
-
-def dropblock_pallas_keep_sums(shape, key, gamma, block_size: int, interpret=False):
-    """Phase 1: per-sample keep-mask sums for an NHWC `shape` — no tensor IO."""
-    n, h, w, c, b, wg, kd, gb, interior, cover = _prep(shape, key, gamma, block_size)
-    # expansion temporaries are ~8 int32 word-planes of (ht, wg, c)
-    ht = min(h, (8 * 2**20) // max(1, wg * c * 4 * 8))
-    ht = max(_STRIP, (ht // _STRIP) * _STRIP)
-    n_htiles = pl.cdiv(h, ht)
-
-    kernel = functools.partial(_sum_kernel, H=h, b=b, wg=wg, c=c, Ht=ht)
-    psums = pl.pallas_call(
-        kernel,
-        grid=(n, n_htiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n, n_htiles), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((ht + 2 * _STRIP, wg, c), jnp.int32)],
-        interpret=interpret,
-    )(kd, gb, interior, cover)
-    dropped = jnp.sum(psums, axis=1)
-    return float(h) * w * c - dropped  # (N,) keep counts
-
-
-def dropblock_pallas_apply(x, key, gamma, scale, block_size: int, interpret=False):
-    """Phase 2: x * keep * scale in one read+write; regenerates phase 1's mask."""
-    n, h, w, c, b, wg, kd, gb, interior, cover = _prep(
-        x.shape, key, gamma, block_size)
-    ht = _pick_ht(h, w, c)
-    n_htiles = pl.cdiv(h, ht)
-    scale32 = jnp.asarray(scale, jnp.float32).reshape(n)
-    bitpos = jnp.asarray(_bitpos_np(w, wg))
-
-    kernel = functools.partial(_apply_kernel, H=h, b=b, wg=wg, c=c, Ht=ht)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n, n_htiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ht, w, c), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ht, w, c), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((ht + 2 * _STRIP, wg, c), jnp.int32)],
-        interpret=interpret,
-    )(kd, gb, interior, bitpos, scale32, x)
-    return out
-
-
-def _scale_from_sums(keep_sum, total: float, guard_zero: bool):
-    if guard_zero:
-        return jnp.where(keep_sum != 0, total / keep_sum, 1.0)
-    return total / keep_sum
-
-
-@functools.partial(jax.jit, static_argnames=("block_size", "guard_zero", "interpret"))
-def dropblock_pallas(
-    x: jax.Array,
-    key: jax.Array,
-    gamma,
-    block_size: int,
-    guard_zero: bool = False,
-    interpret: bool = False,
-) -> jax.Array:
-    """Fused dropblock: returns x * keep * scale.
-
-    gamma: traced scalar (caller picks the dependent/independent formula).
-    guard_zero: independent-variant semantics (no rescale when everything
-    dropped, utils_modules.py:133-138); False reproduces the dependent
-    variant's unguarded numel/sum (which NaNs out when all is dropped, like
-    the reference — the model's NaN scrub handles it).
-
-    Per-SAMPLE rescale: each batch element is one MC ensemble member, so
-    the batch-1 reference semantics (scale = numel/sum per forward pass,
-    utils_modules.py:61-64) apply sample-wise. (The pure-XLA impl keeps the
-    reference's whole-batch coupling for training parity; at batch 1 the
-    two are identical.)
-    """
-    if not pallas_dropblock_supported(block_size):
-        raise ValueError("pallas dropblock requires odd 1 < block_size <= 17")
-    n, h, w, c = x.shape
-    keep_sum = dropblock_pallas_keep_sums(x.shape, key, gamma, block_size, interpret)
-    scale = _scale_from_sums(keep_sum, float(h * w * c), guard_zero)
-    return dropblock_pallas_apply(x, key, gamma, scale, block_size, interpret)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def dropblock_pallas_ad(x, key, gamma, block_size, guard_zero=False, interpret=False):
-    """Differentiable wrapper: d(x*keep*scale)/dx = keep*scale, and the mask
-    is a deterministic function of (key, gamma, shape) — so the backward pass
-    is one apply-kernel run on the cotangent with the saved scale. No
-    residual mask needs to be stored."""
-    return dropblock_pallas(x, key, gamma, block_size, guard_zero, interpret)
-
-
-def _db_fwd(x, key, gamma, block_size, guard_zero, interpret):
-    n, h, w, c = x.shape
-    keep_sum = dropblock_pallas_keep_sums(x.shape, key, gamma, block_size, interpret)
-    scale = _scale_from_sums(keep_sum, float(h * w * c), guard_zero)
-    out = dropblock_pallas_apply(x, key, gamma, scale, block_size, interpret)
-    return out, (key, gamma, scale)
-
-
-def _db_bwd(block_size, guard_zero, interpret, res, g):
-    key, gamma, scale = res
-    dx = dropblock_pallas_apply(g, key, gamma, scale, block_size, interpret)
-    return dx, None, None
-
-
-dropblock_pallas_ad.defvjp(_db_fwd, _db_bwd)
