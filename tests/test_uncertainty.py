@@ -97,7 +97,8 @@ def test_rotational_engine_matches_serial_loop():
 
     interp = jax.default_backend() not in ("tpu", "axon")
     model, params = _small_model(dropblock_kind=None)
-    engine = RotationalEngine(model, num_iterations=6, return_num=0, chunk=4)
+    engine = RotationalEngine(model, num_iterations=6, return_num=0, chunk=4,
+                              warp="shear")
     rng = np.random.default_rng(0)
     im = jnp.asarray(rng.random((1, 32, 32, 1), dtype=np.float32))
     mask = jnp.ones_like(im)

@@ -76,10 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-num_iterations", dest="num_iterations", type=int, default=359,
                         help="rotation fan size (the reference hardcodes 359)")
     parser.add_argument("-chunk", dest="chunk", type=int, default=16)
-    parser.add_argument("-warp", dest="warp", choices=("shear", "gather"), default="shear",
-                        help="rotation backend: 'shear' (fast 3-shear fan warp; "
-                        "product-level parity with the torchvision-bilinear "
-                        "'gather' path is pinned in tests and PERF.md)")
+    parser.add_argument("-warp", dest="warp", choices=("shear", "gather"), default="gather",
+                        help="rotation backend: 'gather' (torchvision-bilinear "
+                        "parity, the reference's interpolation) or 'shear' "
+                        "(fast 3-shear fan warp, ~4.5x the passes/s; ensemble-"
+                        "statistics parity pinned in tests and PERF.md)")
     parser.add_argument("-block_size", dest="block_size", type=int, default=7)
     parser.add_argument("-max_drop_prob", dest="max_drop_prob", type=float, default=0.15)
     parser.add_argument("-dropblock_steps", dest="dropblock_steps", type=int, default=1500)

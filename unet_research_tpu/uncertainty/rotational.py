@@ -8,15 +8,19 @@ load time in the reference, Rotational_Uncertainty.py:127). Optional
 square-pad + resize first (Rotational_Uncertainty.py:40-48).
 
 Warp backends:
-- 'shear' (default): the Paeth 3-shear fan warp
+- 'gather' (default): the exact torchvision-parity warp (ops/image.py
+  rotate_bilinear). Default because additions beyond the reference must
+  default to reference behavior (CLAUDE.md): the CLI's uncertainty
+  artifacts match the reference's interpolation bit-for-policy.
+- 'shear' (opt-in perf mode, `-warp shear`): the Paeth 3-shear fan warp
   (ops/pallas/shear_rotate.py) — no gathers, whole chunks of angles
   warped as one batch. XLA lowers the C=1 bilinear gather to near-scalar
   code (~12 ms/warp at DRIVE resolution, 2 warps per member vs the ~6 ms
   forward), so the gather path runs the ensemble at ~31 passes/s where
-  the shear path is forward-bound. Interpolation differs from torchvision
-  bilinear by ~1e-3 mean abs on smooth content (tests/test_shear_rotate.py).
-- 'gather': the exact torchvision-parity warp (ops/image.py
-  rotate_bilinear), kept for golden comparisons.
+  the shear path is forward-bound (141.3 passes/s). Interpolation differs
+  from torchvision bilinear by ~1e-3 mean abs on smooth content
+  (tests/test_shear_rotate.py); ensemble-statistics agreement is pinned by
+  tests/test_uncertainty.py::test_rotational_shear_vs_gather_ensemble_stats.
 """
 
 from __future__ import annotations
@@ -40,7 +44,7 @@ class RotationalEngine:
         return_num: int = 25,
         resize: int = -1,
         chunk: int = 16,
-        warp: str = "shear",
+        warp: str = "gather",
     ):
         if warp not in ("shear", "gather"):
             raise ValueError("warp must be 'shear' or 'gather'")
