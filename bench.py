@@ -36,6 +36,9 @@ def main():
             "dropblock": DropBlockConfig(
                 kind="dependent", block_size=7, drop_prob=0.15, use_scheduler=False
             ),
+            # 3x3-conv lowering for the ladder runs: 'xla' | 'pair'
+            # (UNET_DB_IMPL selects the mask pipeline the same way)
+            "conv_impl": os.environ.get("UNET_CONV_IMPL", "xla"),
         }
     )
     model = UNet(cfg)

@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 from unet_research_tpu.ops.pallas.dropblock_kernel import (
+    dropblock_fused_apply,
     dropblock_pallas_mask,
     expand_bit_planes,
     pallas_dropblock_supported,
@@ -115,3 +116,74 @@ def test_model_path_kernel_impl():
     kept = out[out > 0]
     if kept.size:
         np.testing.assert_allclose(kept, out.size / np.count_nonzero(out), rtol=1e-4)
+
+
+@tpu_only
+def test_fused_apply_matches_producer():
+    """The fused epilogue kernel draws the SAME mask stream as the producer
+    kernel for the same key (both seed the hardware PRNG per (key, sample,
+    strip)), so act((x*a+b)*mask) must match exactly, counts included."""
+    rng = np.random.default_rng(0)
+    shape = (3, 96, 80, 8)
+    key = jax.random.PRNGKey(11)
+    gamma = 0.004
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    a = jnp.asarray(rng.random((3, 8)).astype(np.float32) + 0.5)
+    b = jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32) * 0.1)
+    mask, keep_ref = dropblock_pallas_mask(shape, key, gamma, 7)
+    out, keep = dropblock_fused_apply(x, jnp.stack([a, b]), key, gamma, 7,
+                                      act="relu")
+    ref = np.maximum(
+        (np.asarray(x) * np.asarray(a)[:, None, None, :]
+         + np.asarray(b)[:, None, None, :]) * np.asarray(mask), 0.0
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(keep), np.asarray(keep_ref))
+
+
+@tpu_only
+def test_fused_apply_modes():
+    """affine=None + act='none' (the merge-site form) is x*mask;
+    leaky_relu keeps the negative slope."""
+    rng = np.random.default_rng(1)
+    shape = (2, 64, 72, 4)
+    key = jax.random.PRNGKey(5)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    mask, _ = dropblock_pallas_mask(shape, key, 0.01, 5)
+    out, _ = dropblock_fused_apply(x, None, key, 0.01, 5, act="none")
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(x) * np.asarray(mask), rtol=1e-6)
+    out_l, _ = dropblock_fused_apply(x, None, key, 0.01, 5,
+                                     act="leaky_relu", slope=0.2)
+    ref = np.asarray(x) * np.asarray(mask)
+    ref = np.where(ref > 0, ref, 0.2 * ref)
+    np.testing.assert_allclose(np.asarray(out_l), ref, rtol=1e-5, atol=1e-6)
+
+
+@tpu_only
+def test_fused_model_forward():
+    """mask_impl='fused' end-to-end through the tiny UNet: runs, finite, and
+    the eval path (drop_prob=None) is identical to the elementwise config."""
+    import dataclasses
+
+    from unet_research_tpu.models.unet import DropBlockConfig, UNet, canonical_config
+
+    cfg = canonical_config(
+        filters=8, model_depth=2, group_norm_groups=4, dtype=jnp.bfloat16,
+        dropblock=DropBlockConfig(kind="independent", block_size=7,
+                                  mask_impl="fused"),
+    )
+    x = jnp.asarray(np.random.default_rng(3).random((2, 48, 40, 1), np.float32))
+    params = UNet(cfg).init(
+        {"params": jax.random.PRNGKey(0), "dropblock": jax.random.PRNGKey(1)},
+        x, drop_prob=0.1,
+    )
+    out = UNet(cfg).apply(params, x, drop_prob=0.1,
+                          rngs={"dropblock": jax.random.PRNGKey(2)})
+    assert out.shape == (2, 48, 40, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    cfg_e = dataclasses.replace(
+        cfg, dropblock=dataclasses.replace(cfg.dropblock, mask_impl="elementwise"))
+    e1 = UNet(cfg).apply(params, x)
+    e2 = UNet(cfg_e).apply(params, x)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))

@@ -1,11 +1,19 @@
 """Equivalence tests for the TPU-performance rewrites of standard ops."""
 
+import dataclasses
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from unet_research_tpu.models.unet import DepthToSpaceUpConv
+from unet_research_tpu.models.unet import (
+    DepthToSpaceUpConv,
+    DropBlockConfig,
+    UNet,
+    canonical_config,
+)
 from unet_research_tpu.ops.dropblock import _block_expand_max
 
 
@@ -48,3 +56,54 @@ def test_separable_block_expand_matches_2d(rng):
         if b % 2 == 0:
             ref = ref[:, :11, :13, :]
         np.testing.assert_array_equal(np.asarray(sep), np.asarray(ref))
+
+
+@pytest.mark.parametrize("kind", ["dependent", "independent"])
+@pytest.mark.parametrize("connection", ["cat", "add", "none"])
+def test_fold_rescale_matches_inline(rng, kind, connection):
+    """fold_rescale (skip/defer the DropBlock rescale through the GroupNorm
+    algebra) is exact-math-equivalent to the literal per-site rescale. At
+    batch 1 the whole-tensor and per-sample scales coincide, so the two
+    forwards must agree to f32 rounding."""
+    cfg = canonical_config(
+        filters=8,
+        model_depth=2,
+        group_norm_groups=4,
+        connection=connection,
+        dropblock=DropBlockConfig(kind=kind, block_size=3, drop_prob=0.15),
+        fold_rescale=True,
+    )
+    cfg_inline = dataclasses.replace(cfg, fold_rescale=False)
+    x = jnp.asarray(rng.random((1, 24, 20, 1), dtype=np.float32))
+    key = jax.random.PRNGKey(7)
+    params = UNet(cfg).init(
+        {"params": jax.random.PRNGKey(0), "dropblock": key}, x, drop_prob=0.15
+    )
+    out_fold = UNet(cfg).apply(params, x, drop_prob=0.15, rngs={"dropblock": key})
+    out_inline = UNet(cfg_inline).apply(
+        params, x, drop_prob=0.15, rngs={"dropblock": key}
+    )
+    # same mask draws (identical rng fold order), algebraically identical
+    np.testing.assert_allclose(
+        np.asarray(out_fold), np.asarray(out_inline), rtol=2e-4, atol=2e-5
+    )
+    # eval mode (drop_prob=None) is untouched by the knob
+    e1 = UNet(cfg).apply(params, x)
+    e2 = UNet(cfg_inline).apply(params, x)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_fold_rescale_batched_shapes(rng):
+    """Batched (MC-chunk-like) forward under folding: per-sample deferred
+    scales broadcast cleanly and members stay independent."""
+    cfg = canonical_config(
+        filters=8, model_depth=2, group_norm_groups=4,
+        dropblock=DropBlockConfig(kind="independent", block_size=3, drop_prob=0.15),
+    )
+    x = jnp.asarray(rng.random((3, 24, 20, 1), dtype=np.float32))
+    out = UNet(cfg).apply(
+        UNet(cfg).init({"params": jax.random.PRNGKey(0), "dropblock": jax.random.PRNGKey(1)}, x, drop_prob=0.1),
+        x, drop_prob=0.1, rngs={"dropblock": jax.random.PRNGKey(2)},
+    )
+    assert out.shape == (3, 24, 20, 1)
+    assert np.isfinite(np.asarray(out)).all()

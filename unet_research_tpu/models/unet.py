@@ -62,10 +62,12 @@ class DropBlockConfig:
     start_drop_prob: float = 0.0
     max_drop_prob: float = 0.2
     nr_steps: int = 500
-    # Mask pipeline: None (UNET_DB_IMPL env default) | 'elementwise' (XLA,
-    # fastest measured end-to-end) | 'kernel' (Pallas mask producer — dense
-    # s8 mask + keep counts from one kernel pass, XLA apply). See
-    # ops/dropblock.py and PERF.md for the measured ladder.
+    # Mask pipeline: None (UNET_DB_IMPL env default) | 'elementwise' (XLA) |
+    # 'kernel' (Pallas mask producer — dense s8 mask + keep counts from one
+    # kernel pass, XLA apply) | 'fused' (Pallas epilogue kernel owning
+    # GN-affine + mask + activation + count in ONE pass over x; pairs with
+    # fold_rescale, inference-mode only — no VJP). See ops/dropblock.py and
+    # PERF.md for the measured ladder.
     mask_impl: Optional[str] = None
 
 
@@ -90,6 +92,37 @@ class UNetConfig:
     dropblock: DropBlockConfig = dataclasses.field(default_factory=DropBlockConfig)
     remat: bool = False
     dtype: Any = jnp.float32  # compute dtype (bf16 on TPU hot paths)
+    # 3x3-conv lowering: 'xla' (default) or 'pair' — the pair-view Pallas
+    # GEMM (ops/pallas/pair_conv.py) for bias-free SAME convs with
+    # C_out <= 64, where XLA's GEMM runs the MXU at half output width
+    # (34% MFU measured at the 592x576 top level, PERF.md round 3). The
+    # kernel also emits the GroupNorm moment sums so no stat pass reads the
+    # activation. Forward-only (no VJP): use for inference/MC ensembles;
+    # ineligible sites (C_out > 64, VALID padding, ragged H) fall back to XLA.
+    conv_impl: str = "xla"
+    # Fold the DropBlock rescale through the network algebra (GroupNorm-gated).
+    #
+    # The reference rescales every masked tensor by numel/count in place
+    # (utils_modules.py:61-64, 133-138). In this architecture every mask site
+    # is followed by [activation ->] convolution -> GroupNorm before anything
+    # scale-sensitive, and each of those commutes with (ReLU/LeakyReLU,
+    # bias-free conv, max/avg pool) or annihilates (GroupNorm: GN(s*x) =
+    # GN(x) for s > 0) a positive per-sample scalar. Tracing the dataflow of
+    # the canonical model, only two kinds of site ever need the scalar
+    # physically applied:
+    #   - the last conv of each encoder block, whose output rides the skip
+    #     connection into a concat/add merge (two branches with different
+    #     scalars do not cancel) -> applied to the skip tensor at the merge;
+    #   - the last mask site before the 1x1 head + sigmoid (sigmoid is not
+    #     scale-invariant) -> applied to the head logits.
+    # The other sites' counts are mathematically irrelevant and are skipped
+    # entirely; the surviving scales are PER-SAMPLE (N,), which is exactly
+    # the reference's serial batch-1 semantics for a batched MC chunk.
+    # Exact-math-equivalent (fp rounding differs, like group_norm_affine);
+    # active only when norm == 'group' (bias-free convs + GN annihilation
+    # are what make the algebra hold). Pinned by
+    # tests/test_unet_perf_ops.py::test_fold_rescale_matches_inline.
+    fold_rescale: bool = True
 
     def __post_init__(self):
         if self.connection not in ("add", "cat", "none"):
@@ -168,7 +201,44 @@ class _GNParams(nn.Module):
         return scale, bias
 
 
-def group_norm_affine(x, scale, bias, num_groups: int, eps: float, dtype):
+def group_norm_coeffs_from_sums(s1, s2, hw: int, scale, bias,
+                                num_groups: int, eps: float):
+    """GroupNorm affine coefficients from per-channel moment sums s1 = sum x,
+    s2 = sum x^2 over (H, W) with hw = H*W — e.g. the side outputs of the
+    conv-owning Pallas kernel (ops/pallas/pair_conv.py), which computes them
+    from the f32 accumulator so no second pass over the activation exists."""
+    n, c = s1.shape
+    cg = c // num_groups
+    g1 = s1.reshape(n, num_groups, cg).sum(-1)
+    g2 = s2.reshape(n, num_groups, cg).sum(-1)
+    cnt = float(hw * cg)
+    mean = g1 / cnt
+    var = g2 / cnt - mean * mean
+    mul = jax.lax.rsqrt(var + eps)  # [N, G]
+    mul = jnp.repeat(mul, cg, axis=1)  # [N, C]
+    meanc = jnp.repeat(mean, cg, axis=1)
+    a = mul * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - meanc * a
+    return a, b
+
+
+def group_norm_coeffs(x, scale, bias, num_groups: int, eps: float):
+    """Per-(sample, channel) GroupNorm affine coefficients (f32 (N, C) each):
+    GN(x) = x * a + b with a = rsqrt(var + eps) * scale, b = bias - mean * a.
+    The moment reductions are shaped so XLA input-fuses them into the
+    producing conv (per-channel (H, W) sums first, group-combined after)."""
+    n, h, w, c = x.shape
+    x32 = x.astype(jnp.float32)
+    # per-channel moments reduce over (H, W) first — XLA input-fuses these
+    # into the producing conv — then combine channels into group moments
+    s1 = jnp.sum(x32, axis=(1, 2))  # [N, C]
+    s2 = jnp.sum(x32 * x32, axis=(1, 2))  # [N, C]
+    return group_norm_coeffs_from_sums(s1, s2, h * w, scale, bias,
+                                       num_groups, eps)
+
+
+def group_norm_affine(x, scale, bias, num_groups: int, eps: float, dtype,
+                      sums=None):
     """GroupNorm (torch GroupNorm semantics: biased variance over
     (H, W, C/G) per sample, reference training.py:191) with the apply
     reassociated to one elementwise FMA.
@@ -182,24 +252,16 @@ def group_norm_affine(x, scale, bias, num_groups: int, eps: float, dtype):
     apply fusions were reading 2.8 GB f32 copies of a 1.4 GB bf16 tensor).
     Here the only full-size tensors are the bf16 input and output; the f32
     stats are [N, C] and fold into the producing conv's epilogue reductions.
+
+    sums: optional precomputed (s1, s2) per-channel moment sums over (H, W)
+    (the conv-owning kernel's side outputs) — skips the reductions here.
     """
-    n, h, w, c = x.shape
-    cg = c // num_groups
-    x32 = x.astype(jnp.float32)
-    # per-channel moments reduce over (H, W) first — XLA input-fuses these
-    # into the producing conv — then combine channels into group moments
-    s1 = jnp.sum(x32, axis=(1, 2))  # [N, C]
-    s2 = jnp.sum(x32 * x32, axis=(1, 2))  # [N, C]
-    g1 = s1.reshape(n, num_groups, cg).sum(-1)
-    g2 = s2.reshape(n, num_groups, cg).sum(-1)
-    cnt = float(h * w * cg)
-    mean = g1 / cnt
-    var = g2 / cnt - mean * mean
-    mul = jax.lax.rsqrt(var + eps)  # [N, G]
-    mul = jnp.repeat(mul, cg, axis=1)  # [N, C]
-    meanc = jnp.repeat(mean, cg, axis=1)
-    a = mul * scale.astype(jnp.float32)[None, :]
-    b = bias.astype(jnp.float32)[None, :] - meanc * a
+    if sums is not None:
+        a, b = group_norm_coeffs_from_sums(
+            sums[0], sums[1], x.shape[1] * x.shape[2], scale, bias,
+            num_groups, eps)
+    else:
+        a, b = group_norm_coeffs(x, scale, bias, num_groups, eps)
     # apply in the input dtype (a, b rounded once): if the apply read x32,
     # XLA would CSE it with the stats' convert and materialize the f32 copy
     # this function exists to avoid. In f32 mode this is exact.
@@ -220,38 +282,142 @@ class _Layers(nn.Module):
             return nn.leaky_relu(x, negative_slope=self.cfg.negative_slope)
         raise ValueError(f"unknown activation {self.cfg.activation}")
 
-    def _norm(self, x, name: str):
+    def _norm(self, x, name: str, sums=None):
         if self.cfg.norm is None:
             return x
         if self.cfg.norm == "group":
             scale, bias = _GNParams(x.shape[-1], name=name)()
             return group_norm_affine(
-                x, scale, bias, self.cfg.group_norm_groups, 1e-5, self.cfg.dtype
+                x, scale, bias, self.cfg.group_norm_groups, 1e-5, self.cfg.dtype,
+                sums=sums,
             )
         raise ValueError(f"unknown norm {self.cfg.norm}")
 
-    def _norm_db_act(self, x, drop_prob, idx: int):
-        """The conv epilogue norm -> dropblock -> act (reference conv block
-        order, utils_unet.py:215-258)."""
-        x = self._norm(x, name=f"norm{idx}")
-        x = self._dropblock(x, drop_prob)
-        return self._act(x)
+    def _fold_active(self, drop_prob) -> bool:
+        """fold_rescale is live at this trace: GroupNorm everywhere (so the
+        annihilation algebra holds) and dropblock actually running."""
+        cfg = self.cfg
+        return (
+            cfg.fold_rescale
+            and cfg.norm == "group"
+            and cfg.dropblock.kind is not None
+            and drop_prob is not None
+        )
 
-    def _dropblock(self, x, drop_prob):
-        """Apply dropblock when a drop_prob is threaded in (drop_prob=None is
-        the static 'module in eval mode / no dropblock configured' path).
-        The mask pipeline is selected by DropBlockConfig.mask_impl."""
+    def _fused_impl(self, drop_prob) -> bool:
+        """True when this site runs the fused Pallas epilogue kernel
+        (mask_impl='fused'): GroupNorm-affine + mask + activation in one
+        custom call, the site's whole conv epilogue owned by one pass."""
+        from unet_research_tpu.ops.dropblock import _kernel_ok, _resolve_impl
+
         db = self.cfg.dropblock
         if db.kind is None or drop_prob is None:
-            return x
+            return False
+        return _resolve_impl(db.mask_impl) == "fused" and _kernel_ok(db.block_size)
+
+    def _fused_site(self, x, drop_prob, idx, rescale: str, with_act: bool,
+                    sums=None):
+        """One mask site as the fused Pallas kernel: act((x*a+b) * mask) with
+        the GN moment reductions left OUTSIDE (they input-fuse into the
+        producing conv; a, b are (N, C)). Parameter names match _norm's
+        _GNParams so checkpoints are interchangeable across pipelines."""
+        from unet_research_tpu.ops.dropblock import (
+            dropblock_gamma_dependent,
+            dropblock_gamma_independent,
+        )
+        from unet_research_tpu.ops.pallas.dropblock_kernel import dropblock_fused_apply
+
+        cfg, db = self.cfg, self.cfg.dropblock
+        n, h, w, c = x.shape
+        if with_act and cfg.norm == "group":
+            scale_p, bias_p = _GNParams(c, name=f"norm{idx}")()
+            if sums is not None:
+                a, b = group_norm_coeffs_from_sums(
+                    sums[0], sums[1], h * w, scale_p, bias_p,
+                    cfg.group_norm_groups, 1e-5)
+            else:
+                a, b = group_norm_coeffs(x, scale_p, bias_p,
+                                         cfg.group_norm_groups, 1e-5)
+            ab = jnp.stack([a, b])
+        else:
+            ab = None
+        key = self.make_rng("dropblock")
+        if db.kind == "dependent":
+            gamma = dropblock_gamma_dependent(h, w, db.block_size, drop_prob)
+        else:
+            gamma = dropblock_gamma_independent(h, w, db.block_size, drop_prob)
+        act = cfg.activation if with_act else "none"
+        out, keep = dropblock_fused_apply(
+            x, ab, key, gamma, db.block_size, act=act, slope=cfg.negative_slope
+        )
+        out = out.astype(cfg.dtype)
+        if rescale == "skip":
+            return out
+        if db.kind == "dependent":
+            per = float(h * w * c) / keep  # (N,) reference numel/sum per member
+            whole = float(n * h * w * c) / jnp.sum(keep)
+        else:
+            kf = keep / float(h * w * c)
+            per = jnp.where(kf != 0, 1.0 / kf, 1.0)
+            kfw = jnp.sum(keep) / float(n * h * w * c)
+            whole = jnp.where(kfw != 0, 1.0 / kfw, 1.0)
+        if rescale == "defer":
+            return out, per
+        return out * whole.astype(out.dtype)
+
+    def _norm_db_act(self, x, drop_prob, idx: int, rescale: str = "apply",
+                     sums=None):
+        """The conv epilogue norm -> dropblock -> act (reference conv block
+        order, utils_unet.py:215-258). rescale: see _dropblock; sums: the
+        producing conv's moment side outputs, if any."""
+        if self._fused_impl(drop_prob):
+            return self._fused_site(x, drop_prob, idx, rescale, with_act=True,
+                                    sums=sums)
+        x = self._norm(x, name=f"norm{idx}", sums=sums)
+        if rescale == "defer":
+            x, scale = self._dropblock(x, drop_prob, rescale="defer")
+            return self._act(x), scale
+        x = self._dropblock(x, drop_prob, rescale=rescale)
+        return self._act(x)
+
+    def _dropblock(self, x, drop_prob, rescale: str = "apply"):
+        """Apply dropblock when a drop_prob is threaded in (drop_prob=None is
+        the static 'module in eval mode / no dropblock configured' path).
+        The mask pipeline is selected by DropBlockConfig.mask_impl;
+        rescale ('apply'/'defer'/'skip') by the fold_rescale dataflow."""
+        db = self.cfg.dropblock
+        if db.kind is None or drop_prob is None:
+            return (x, None) if rescale == "defer" else x
+        if self._fused_impl(drop_prob):
+            # bare mask site (the skip merge): no norm, no activation
+            return self._fused_site(x, drop_prob, None, rescale, with_act=False)
         key = self.make_rng("dropblock")
         fn = dropblock_dependent if db.kind == "dependent" else dropblock_independent
-        return fn(x, key, drop_prob, db.block_size, mask_impl=db.mask_impl)
+        return fn(x, key, drop_prob, db.block_size, mask_impl=db.mask_impl,
+                  rescale=rescale)
 
     def _conv(self, x, features: int, name: str):
+        """3x3 conv. Returns (y, sums) where sums is the (s1, s2) GroupNorm
+        moment pair when the conv-owning Pallas kernel produced them (the
+        'pair' lowering), else None (XLA: the reductions input-fuse into the
+        conv downstream in group_norm_coeffs)."""
         cfg = self.cfg
+        if (
+            cfg.conv_impl == "pair"
+            and cfg.same_padding
+            and cfg.norm is not None  # bias-free under norm
+            and 2 * features <= 128
+            and x.shape[-2] % 2 == 0
+            and x.shape[-3] % 8 == 0
+        ):
+            try:
+                on_tpu = jax.default_backend() in ("tpu", "axon")
+            except Exception:
+                on_tpu = False
+            if on_tpu:
+                return PairConv(features, name=name)(x)
         fan_in = x.shape[-1] * 9
-        return nn.Conv(
+        y = nn.Conv(
             features=features,
             kernel_size=(3, 3),
             strides=(1, 1),
@@ -262,6 +428,27 @@ class _Layers(nn.Module):
             dtype=cfg.dtype,
             name=name,
         )(x)
+        return y, None
+
+
+class PairConv(nn.Module):
+    """3x3 SAME bias-free conv via the pair-view Pallas GEMM
+    (ops/pallas/pair_conv.py), emitting the GroupNorm moment sums as side
+    outputs. Parameter tree ('kernel', torch-parity init) matches nn.Conv so
+    checkpoints are interchangeable across conv_impl settings."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from unet_research_tpu.ops.pallas.pair_conv import conv3x3_pair
+
+        ci = x.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init,
+                            (3, 3, ci, self.features))
+        y, s1, s2 = conv3x3_pair(x, kernel.astype(x.dtype), stats=True)
+        return y, (s1, s2)
 
 
 class DepthToSpaceUpConv(nn.Module):
@@ -311,15 +498,34 @@ class ConvBlock(_Layers):
 
     `features` lists the output channels of each conv (the first may differ,
     reference utils_unet.py:215-230,243-258).
+
+    want_scale: this block's output feeds a scale-sensitive consumer (a skip
+    merge or the head) under fold_rescale — return (x, per-sample scale of
+    the LAST mask site); earlier sites' scales are annihilated downstream
+    and skipped. Always returns (x, scale) when want_scale (scale None if
+    folding is inactive this trace).
     """
 
     features: Sequence[int] = ()
+    want_scale: bool = False
 
     @nn.compact
     def __call__(self, x, drop_prob=None):
+        fold = self._fold_active(drop_prob)
+        scale = None
+        last = len(self.features) - 1
         for i, feats in enumerate(self.features):
-            x = self._conv(x, feats, name=f"conv{i}")
-            x = self._norm_db_act(x, drop_prob, i)
+            x, sums = self._conv(x, feats, name=f"conv{i}")
+            if not fold:
+                x = self._norm_db_act(x, drop_prob, i, sums=sums)
+            elif self.want_scale and i == last:
+                x, scale = self._norm_db_act(x, drop_prob, i, rescale="defer",
+                                             sums=sums)
+            else:
+                x = self._norm_db_act(x, drop_prob, i, rescale="skip",
+                                      sums=sums)
+        if self.want_scale:
+            return x, scale
         return x
 
 
@@ -373,11 +579,13 @@ class UpBlock(_Layers):
                 dtype=cfg.dtype,
                 name="up_conv",
             )(x)
-        else:  # 'upsample': torch nn.Upsample default is nearest
-            n, h, w, c = x.shape
-            x = jax.image.resize(x, (n, 2 * h, 2 * w, c), method="nearest")
-            x = self._conv(x, self.features, name="up_conv")
-        x = self._norm(x, name="up_norm")
+            x = self._norm(x, name="up_norm")
+            return self._act(x)
+        # 'upsample': torch nn.Upsample default is nearest
+        n, h, w, c = x.shape
+        x = jax.image.resize(x, (n, 2 * h, 2 * w, c), method="nearest")
+        x, sums = self._conv(x, self.features, name="up_conv")
+        x = self._norm(x, name="up_norm", sums=sums)
         return self._act(x)
 
 
@@ -386,16 +594,25 @@ class SkipMerge(_Layers):
     (reference utils_unet.py:376-390)."""
 
     @nn.compact
-    def __call__(self, x, skip, drop_prob=None):
+    def __call__(self, x, skip, drop_prob=None, skip_scale=None):
         conn = self.cfg.connection
         if conn == "none":
             return x
+        if skip_scale is not None:
+            # the deferred rescale of the encoder block's last mask site:
+            # the up branch arrives scalar-clean (its pending scale was
+            # annihilated by up_norm), so only the skip needs correcting
+            # before the branches mix (fold_rescale, UNetConfig)
+            skip = skip * skip_scale.astype(skip.dtype)[:, None, None, None]
         skip = center_crop(skip, (x.shape[-3], x.shape[-2]))
         if conn == "cat":
             x = jnp.concatenate([x, skip], axis=-1)
         else:  # add
             x = x + skip
-        return self._dropblock(x, drop_prob)
+        # the merge-site mask's own scale is annihilated by the post-block's
+        # first GroupNorm when folding
+        rescale = "skip" if self._fold_active(drop_prob) else "apply"
+        return self._dropblock(x, drop_prob, rescale=rescale)
 
 
 class UNet(nn.Module):
@@ -426,6 +643,17 @@ class UNet(nn.Module):
         pool_block = self._maybe_remat(PoolBlock)
         up_block = self._maybe_remat(UpBlock)
 
+        # fold_rescale dataflow (see UNetConfig): encoder blocks defer their
+        # last mask site's per-sample scale to the skip merge; the final
+        # decoder block defers to the head; every other site skips its count
+        fold = (
+            cfg.fold_rescale
+            and cfg.norm == "group"
+            and cfg.dropblock.kind is not None
+            and drop_prob is not None
+        )
+        want_skip_scale = fold and cfg.connection != "none"
+
         filters = cfg.filters
         skips = []
         # encoder
@@ -435,8 +663,12 @@ class UNet(nn.Module):
             else:
                 filters *= 2
                 feats = [filters] * cfg.conv_layers_per_block
-            x = conv_block(cfg, tuple(feats), name=f"down{d}")(x, drop_prob)
-            skips.append(x)
+            blk = conv_block(cfg, tuple(feats), want_skip_scale, name=f"down{d}")
+            if want_skip_scale:
+                x, s = blk(x, drop_prob)
+            else:
+                x, s = blk(x, drop_prob), None
+            skips.append((x, s))
             x = pool_block(cfg, filters, name=f"pool{d}")(x)
 
         # bottleneck ("connection block", utils_unet.py:162-207)
@@ -446,13 +678,21 @@ class UNet(nn.Module):
         )
 
         # decoder
+        head_scale = None
         for d in range(cfg.model_depth):
             filters //= 2
             x = up_block(cfg, filters, name=f"up{d}")(x)
-            x = SkipMerge(cfg, name=f"skip{d}")(x, skips[-1 - d], drop_prob)
-            x = conv_block(cfg, (filters,) * cfg.conv_layers_per_block, name=f"post{d}")(
-                x, drop_prob
+            skip_x, skip_s = skips[-1 - d]
+            x = SkipMerge(cfg, name=f"skip{d}")(x, skip_x, drop_prob, skip_scale=skip_s)
+            want_head_scale = fold and d == cfg.model_depth - 1
+            blk = conv_block(
+                cfg, (filters,) * cfg.conv_layers_per_block, want_head_scale,
+                name=f"post{d}",
             )
+            if want_head_scale:
+                x, head_scale = blk(x, drop_prob)
+            else:
+                x = blk(x, drop_prob)
 
         # 1x1 head + sigmoid (bias follows the global norm rule,
         # utils_unet.py:393-406)
@@ -465,7 +705,12 @@ class UNet(nn.Module):
             dtype=cfg.dtype,
             name="head",
         )(x)
-        x = jax.nn.sigmoid(x.astype(jnp.float32))
+        x = x.astype(jnp.float32)
+        if head_scale is not None:
+            # the last mask site's deferred scale, moved past the (linear,
+            # bias-free) 1x1 head to just before the scale-sensitive sigmoid
+            x = x * head_scale[:, None, None, None]
+        x = jax.nn.sigmoid(x)
 
         x = crop_to(x, orig_hw)
         # clamp + NaN scrub (utils_unet.py:443-444)

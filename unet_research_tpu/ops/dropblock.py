@@ -53,7 +53,7 @@ IMPL_DEFAULT = os.environ.get("UNET_DB_IMPL") or None
 
 def _resolve_impl(mask_impl) -> str:
     impl = mask_impl or IMPL_DEFAULT or "elementwise"
-    if impl not in ("elementwise", "kernel"):
+    if impl not in ("elementwise", "kernel", "fused"):
         raise ValueError(f"unknown dropblock mask_impl {impl!r}")
     return impl
 
@@ -157,6 +157,7 @@ def dropblock_dependent(
     block_size: int,
     fast_rng: bool = True,
     mask_impl: str | None = None,
+    rescale: str = "apply",
 ) -> jax.Array:
     """DropBlock2D-equivalent (reference utils_modules.py:36-82), NHWC.
 
@@ -169,8 +170,21 @@ def dropblock_dependent(
 
     drop_prob may be a traced scalar: at p=0 the math degrades to identity
     (all-ones block mask, scale 1), so no dynamic branch is needed under jit.
+
+    rescale: 'apply' multiplies the numel/sum scale in (whole-tensor count,
+    the literal reference op); 'defer' returns (x*mask, scale) with a
+    PER-SAMPLE (N,) scale — the reference's batch-1 serial semantics for a
+    batched MC chunk — so the caller can fold it in where it matters;
+    'skip' omits the count entirely (the model-level algebra: any positive
+    per-sample scalar is annihilated by the next GroupNorm, see
+    models/unet.py fold_rescale).
     """
     impl = _resolve_impl(mask_impl)
+    if impl == "fused":
+        # 'fused' is a MODEL-level pipeline (the Pallas epilogue kernel needs
+        # the site's GroupNorm/activation context — models/unet.py
+        # _fused_site); at the bare-op level it degrades to the mask producer
+        impl = "kernel"
     n, h, w, c = x.shape
     b = block_size
     gamma = dropblock_gamma_dependent(h, w, b, drop_prob)
@@ -183,6 +197,11 @@ def dropblock_dependent(
         from unet_research_tpu.ops.pallas.dropblock_kernel import dropblock_pallas_mask
 
         dense, keep = dropblock_pallas_mask(x.shape, key, gamma, b)
+        if rescale == "skip":
+            return x * dense.astype(x.dtype)
+        if rescale == "defer":
+            scale = float(h * w * c) / keep  # (N,) per-sample
+            return x * dense.astype(x.dtype), scale
         scale = float(n * h * w * c) / jnp.sum(keep)
         return x * dense.astype(x.dtype) * scale.astype(x.dtype)
     if b % 2 == 1:
@@ -207,12 +226,17 @@ def dropblock_dependent(
         block_mask = jnp.int8(1) - block
     else:
         block_mask = (1.0 - block).astype(jnp.int8)
+    if rescale == "skip":
+        return x * block_mask.astype(x.dtype)
     # (An optimization_barrier here to make the keep-count read the written
     # mask instead of re-deriving it measured SLOWER end-to-end — 101.4 vs
     # 104.0 passes/s — XLA's duplicated producer chains fuse better than the
     # forced materialize+reread. Leave the graph unconstrained.)
     # data-dependent rescale accumulated in f32 (bf16 sums of ~1e6 elements
     # would corrupt the scale)
+    if rescale == "defer":
+        keep = jnp.sum(block_mask.astype(jnp.float32), axis=(1, 2, 3))  # (N,)
+        return x * block_mask.astype(x.dtype), float(h * w * c) / keep
     scale = block_mask.size / jnp.sum(block_mask.astype(jnp.float32))
     return x * block_mask.astype(x.dtype) * scale.astype(x.dtype)
 
@@ -224,6 +248,7 @@ def dropblock_independent(
     block_size: int,
     fast_rng: bool = True,
     mask_impl: str | None = None,
+    rescale: str = "apply",
 ) -> jax.Array:
     """Dropblock2d_ichan-equivalent (reference utils_modules.py:107-139), NHWC.
 
@@ -231,10 +256,15 @@ def dropblock_independent(
     max-pool block expansion, and a guarded 1/mean rescale (identity when
     everything was dropped). Requires odd block_size — the reference's
     reshape-based per-channel pooling implicitly does too.
+
+    rescale: 'apply' | 'defer' (returns (x*mask, per-sample scale)) | 'skip'
+    — see dropblock_dependent.
     """
     if block_size % 2 == 0:
         raise ValueError("dropblock_independent requires an odd block_size")
     impl = _resolve_impl(mask_impl)
+    if impl == "fused":
+        impl = "kernel"  # see dropblock_dependent
     n, h, w, c = x.shape
     b = block_size
     gamma = dropblock_gamma_independent(h, w, b, drop_prob)
@@ -243,6 +273,11 @@ def dropblock_independent(
         from unet_research_tpu.ops.pallas.dropblock_kernel import dropblock_pallas_mask
 
         dense, keep = dropblock_pallas_mask(x.shape, key, gamma, b)
+        if rescale == "skip":
+            return x * dense.astype(x.dtype)
+        if rescale == "defer":
+            keep_frac = keep / float(h * w * c)  # (N,)
+            return x * dense.astype(x.dtype), jnp.where(keep_frac != 0, 1.0 / keep_frac, 1.0)
         keep_frac = jnp.sum(keep) / float(n * h * w * c)
         scale = jnp.where(keep_frac != 0, 1.0 / keep_frac, 1.0)
         return x * dense.astype(x.dtype) * scale.astype(x.dtype)
@@ -254,6 +289,11 @@ def dropblock_independent(
         seeds = seeds * border[None, :, :, None]
     block = _block_expand_max(seeds, b)
     keep = jnp.int8(1) - block
+    if rescale == "skip":
+        return x * keep.astype(x.dtype)
+    if rescale == "defer":
+        keep_frac = jnp.mean(keep.astype(jnp.float32), axis=(1, 2, 3))  # (N,)
+        return x * keep.astype(x.dtype), jnp.where(keep_frac != 0, 1.0 / keep_frac, 1.0)
     keep_frac = jnp.mean(keep.astype(jnp.float32))
     scale = jnp.where(keep_frac != 0, 1.0 / keep_frac, 1.0)
     return x * keep.astype(x.dtype) * scale.astype(x.dtype)

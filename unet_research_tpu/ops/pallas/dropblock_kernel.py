@@ -226,6 +226,108 @@ def _prep(x_shape, key, gamma, block_size):
     return n, h, w, c, b, wg, kd, gb, interior, cover
 
 
+def _fused_kernel(kd_ref, gb_ref, interior_ref, cover_ref, tpos_ref, ab_ref,
+                  x_ref, out_ref, psum_ref, seeds_ref,
+                  *, H, b, wg, c, Ht, affine, act, slope):
+    """Fused GroupNorm-affine + DropBlock + activation in the APPLY position:
+
+        out = act((x * a + b) * keep_mask)
+
+    One custom call owns the whole conv epilogue: the mask never touches HBM
+    (bit-planes live in VMEM), the keep-count is a popcount side output, and
+    x is read and written exactly once. The rescale is NOT applied here —
+    the caller runs under the model's fold_rescale dataflow (models/unet.py),
+    which needs the count only at skip/head sites and nowhere else.
+    a, b are the per-(sample, channel) GroupNorm affine coefficients
+    (models/unet.py group_norm_affine); computing them OUTSIDE the kernel is
+    deliberate: XLA input-fuses the moment reductions into the producing
+    conv, which a custom call could never do (the round-2 lesson, PERF.md).
+    """
+    n = pl.program_id(0)
+    ht = pl.program_id(1)
+    row0 = ht * Ht
+    block = _gen_block_words(seeds_ref, interior_ref, kd_ref[0], kd_ref[1],
+                             gb_ref[0], n, row0,
+                             H=H, b=b, wg=wg, lanes=c, Ht=Ht)
+    blockc = block & cover_ref[...]  # drop expansion spill into packing pad
+    counts = lax.population_count(blockc)
+    row3 = lax.broadcasted_iota(jnp.int32, (Ht, wg, c), 0)
+    valid = (row3 + row0) < H  # ragged last tile
+    psum_ref[n, ht] = jnp.sum(jnp.where(valid, counts, 0).astype(jnp.float32))
+    w = out_ref.shape[2]
+    planes = pltpu.repeat(block, -(-w // wg), axis=1)[:, :w, :]
+    dropped01 = lax.shift_right_logical(planes, tpos_ref[...][None, :, :]) & 1
+    x = x_ref[0]
+    if affine:
+        a = ab_ref[0, pl.ds(n, 1), :]  # (1, C), broadcasts over (Ht, W, C)
+        bb = ab_ref[1, pl.ds(n, 1), :]
+        y = x * a.astype(x.dtype) + bb.astype(x.dtype)
+    else:
+        y = x
+    y = jnp.where(dropped01 == 1, jnp.zeros_like(y), y)
+    if act == "relu":
+        y = jnp.maximum(y, jnp.zeros_like(y))
+    elif act == "leaky_relu":
+        y = jnp.where(y > 0, y, y * jnp.asarray(slope, y.dtype))
+    out_ref[0] = y
+
+
+def dropblock_fused_apply(x, ab, key, gamma, block_size: int, *,
+                          act: str = "relu", slope: float = 0.01,
+                          interpret=False):
+    """act((x * a + b) * keep_mask) and per-sample keep counts, one pass.
+
+    x: (N, H, W, C); ab: (2, N, C) stacked GroupNorm-affine coefficients, or
+    None for unnormalized sites (the skip-merge mask). Returns (out, keep)
+    with keep (N,) float32 — the caller derives the deferred rescale where
+    the fold_rescale dataflow needs it (reference rescale semantics:
+    utils_modules.py:61-64/133-138, batch-1 per member).
+
+    Not differentiable by design: the fused path is for inference-mode
+    ensembles (MC uncertainty, bench.py); training keeps the XLA pipeline.
+    """
+    if not pallas_dropblock_supported(block_size):
+        raise ValueError("pallas dropblock requires odd 1 < block_size <= 17")
+    n, h, w, c, b, wg, kd, gb, interior, cover = _prep(x.shape, key, gamma, block_size)
+    # x in + out double-buffered (2 x 2 x itemsize) + i32 planes/select temps
+    ht = _pick_ht(h, w, c, budget=13 * 2**20)
+    n_htiles = pl.cdiv(h, ht)
+    tpos = jnp.asarray((np.arange(w, dtype=np.int32) // wg).reshape(w, 1))
+    affine = ab is not None
+    if ab is None:
+        ab = jnp.zeros((2, n, c), jnp.float32)
+
+    kernel = functools.partial(_fused_kernel, H=h, b=b, wg=wg, c=c, Ht=ht,
+                               affine=affine, act=act, slope=slope)
+    out, psums = pl.pallas_call(
+        kernel,
+        grid=(n, n_htiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ht, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+            jax.ShapeDtypeStruct((n, n_htiles), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((ht + 2 * _STRIP, wg, c), jnp.int32)],
+        interpret=interpret,
+    )(kd, gb, interior, cover, tpos, ab.astype(jnp.float32), x)
+    keep = float(h) * w * c - jnp.sum(psums, axis=1)
+    return out, keep
+
+
 def dropblock_pallas_mask(shape, key, gamma, block_size: int, interpret=False):
     """Dense s8 keep-mask (N,H,W,C) + keep counts (N,) in ONE kernel pass.
 

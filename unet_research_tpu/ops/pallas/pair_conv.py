@@ -1,0 +1,223 @@
+"""3x3 SAME convolution as a pair-view Pallas GEMM — the conv-owning kernel
+for the U-Net's C_out=64 top level.
+
+Why: XLA lowers this model's top-level convs (592x576, 64->64) to an MXU
+GEMM whose output lane axis is C_out=64 — half the 128-wide MXU — and the
+round-3 MC-pass profile measured them at 34% MFU, 1.77 ms/pass of a 9.6 ms
+pass (PERF.md). The reference leaves this to cuDNN (torch nn.Conv2d,
+utils_unet.py:221); on TPU the fix is to restructure the GEMM, not the model.
+
+The pair trick: compute TWO adjacent output columns per GEMM row. Output
+lives in pair-view (N, H, W/2, 2*C_out) where lane = (q, co), q = w % 2 —
+all 128 MXU output lanes busy. Each output pair (cols 2j, 2j+1) reads input
+columns {2j-1 .. 2j+2}, covered exactly once by two half-shifted pair-views:
+
+    u[j] = (x[2j-1], x[2j])      v[j] = (x[2j+1], x[2j+2])
+
+so one row offset dy contributes two accumulating matmuls with zero-padded
+block weights (3 of 4 C x C_out blocks live in each):
+
+    Wu[dy] = [[K[dy,0],    0   ],     Wv[dy] = [[K[dy,2], K[dy,1]],
+              [K[dy,1], K[dy,0]]]               [   0   , K[dy,2]]]
+
+6 matmuls of (Ht*W/2, 2C) @ (2C, 2*C_out) per tile; useful/issued FLOPs =
+75%, against XLA's 50% lane ceiling at C_out=64 (and its measured 34%).
+
+Optionally emits the per-channel GroupNorm moment sums (s1, s2) of the f32
+accumulator as side outputs, so the conv -> GN-coeff -> fused-DropBlock
+chain (models/unet.py, dropblock_kernel.dropblock_fused_apply) never makes
+another full pass over the activation.
+
+Halo: each H-tile needs one row above and below. x stays in HBM (ANY) and
+the kernel runs its own two-slot DMA pipeline — the body rows plus two
+edge-conditional single-row halo copies per tile, next tile's copies issued
+before this tile's matmuls — so every input byte crosses HBM exactly once
+and the fetch overlaps compute (a block-mapped halo would triple the input
+traffic: three overlapping tile views).
+
+Forward-only (no VJP): training keeps the XLA conv; this kernel serves the
+inference-mode MC/TTA ensembles (the bench.py workload).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pair_conv_supported(x_shape, kh: int, kw: int, strides, padding,
+                        use_bias: bool, ht: int = 8) -> bool:
+    n, h, w, c = x_shape
+    return (
+        (kh, kw) == (3, 3)
+        and tuple(strides) == (1, 1)
+        and padding == "SAME"
+        and not use_bias
+        and w % 2 == 0
+        and h % ht == 0
+    )
+
+
+def _pack_weights(kernel: jax.Array, dtype) -> jax.Array:
+    """flax (3, 3, C, F) -> (2, 3, 2C, 2F) stacked [Wu, Wv] pair-GEMM blocks."""
+    k = kernel.astype(dtype)
+    _, _, c, f = k.shape
+    z = jnp.zeros((3, c, f), dtype)
+    # rows: s (position within the half-shifted pair), cols: q (output parity)
+    wu = jnp.concatenate(
+        [
+            jnp.concatenate([k[:, 0], z], axis=2),        # u_low  = col 2j-1
+            jnp.concatenate([k[:, 1], k[:, 0]], axis=2),  # u_high = col 2j
+        ],
+        axis=1,
+    )
+    wv = jnp.concatenate(
+        [
+            jnp.concatenate([k[:, 2], k[:, 1]], axis=2),  # v_low  = col 2j+1
+            jnp.concatenate([z, k[:, 2]], axis=2),        # v_high = col 2j+2
+        ],
+        axis=1,
+    )
+    return jnp.stack([wu, wv])
+
+
+def _shift_j(a, d: int):
+    """Shift along the pair axis (axis 1) by d with zero fill."""
+    z = jnp.zeros_like(a[:, :1])
+    if d == 1:  # out[j] = a[j-1]
+        return jnp.concatenate([z, a[:, :-1]], axis=1)
+    return jnp.concatenate([a[:, 1:], z], axis=1)  # out[j] = a[j+1]
+
+
+def _issue_tile_dma(x_ref, xt, sems, n, ht, slot, *, Ht, nt, wait: bool):
+    """Start (or wait for) the up-to-3 copies filling halo slot `slot` with
+    tile (n, ht): Ht body rows into xt[slot, 1:Ht+1], plus one halo row on
+    each non-edge side. make_async_copy is descriptor-based: rebuilding the
+    same copy and calling .wait() waits on its semaphore."""
+    row0 = ht * Ht
+    body = pltpu.make_async_copy(
+        x_ref.at[n, pl.ds(row0, Ht)], xt.at[slot, pl.ds(1, Ht)],
+        sems.at[slot, 0])
+    body.wait() if wait else body.start()
+
+    @pl.when(ht > 0)
+    def _():
+        top = pltpu.make_async_copy(
+            x_ref.at[n, pl.ds(row0 - 1, 1)], xt.at[slot, pl.ds(0, 1)],
+            sems.at[slot, 1])
+        top.wait() if wait else top.start()
+
+    @pl.when(ht < nt - 1)
+    def _():
+        bot = pltpu.make_async_copy(
+            x_ref.at[n, pl.ds(row0 + Ht, 1)], xt.at[slot, pl.ds(Ht + 1, 1)],
+            sems.at[slot, 2])
+        bot.wait() if wait else bot.start()
+
+
+def _conv_kernel(wp_ref, x_ref, out_ref, s1_ref, s2_ref, xt_ref, sems,
+                 *, Ht, W, C, F, N, nt, stats, out_dtype):
+    n, ht = pl.program_id(0), pl.program_id(1)
+    step = n * nt + ht
+    slot = lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        _issue_tile_dma(x_ref, xt_ref, sems, n, ht, slot, Ht=Ht, nt=nt,
+                        wait=False)
+
+    # issue next tile's copies into the other slot before computing this one
+    @pl.when(step + 1 < N * nt)
+    def _():
+        last = ht == nt - 1
+        n2 = jnp.where(last, n + 1, n)
+        ht2 = jnp.where(last, 0, ht + 1)
+        _issue_tile_dma(x_ref, xt_ref, sems, n2, ht2, 1 - slot, Ht=Ht, nt=nt,
+                        wait=False)
+
+    _issue_tile_dma(x_ref, xt_ref, sems, n, ht, slot, Ht=Ht, nt=nt, wait=True)
+
+    # canvas edges: zero halo rows (SAME padding); no copy was issued there
+    @pl.when(ht == 0)
+    def _():
+        xt_ref[slot, 0:1] = jnp.zeros_like(xt_ref[slot, 0:1])
+
+    @pl.when(ht == nt - 1)
+    def _():
+        xt_ref[slot, Ht + 1 : Ht + 2] = jnp.zeros_like(
+            xt_ref[slot, Ht + 1 : Ht + 2])
+
+    xt = xt_ref[slot]  # (Ht+2, W, C)
+    pv = xt.reshape(Ht + 2, W // 2, 2 * C)
+    pv_lo, pv_hi = pv[:, :, :C], pv[:, :, C:]
+    u = jnp.concatenate([_shift_j(pv_hi, 1), pv_lo], axis=-1)   # cols 2j-1, 2j
+    v = jnp.concatenate([pv_hi, _shift_j(pv_lo, -1)], axis=-1)  # cols 2j+1, 2j+2
+    m = Ht * (W // 2)
+    acc = jnp.zeros((m, 2 * F), jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    for dy in range(3):
+        acc += lax.dot_general(u[dy : dy + Ht].reshape(m, 2 * C), wp_ref[0, dy],
+                               dn, preferred_element_type=jnp.float32)
+        acc += lax.dot_general(v[dy : dy + Ht].reshape(m, 2 * C), wp_ref[1, dy],
+                               dn, preferred_element_type=jnp.float32)
+    if stats:
+        s1 = jnp.sum(acc, axis=0).reshape(2, F)
+        s2 = jnp.sum(acc * acc, axis=0).reshape(2, F)
+        s1_ref[0, 0] = (s1[0] + s1[1]).reshape(1, F)
+        s2_ref[0, 0] = (s2[0] + s2[1]).reshape(1, F)
+    out_ref[0] = acc.astype(out_dtype).reshape(Ht, W, F)
+
+
+def conv3x3_pair(x, kernel, *, stats: bool = False, ht: int = 8,
+                 interpret=False):
+    """y = conv3x3_same(x, kernel) (NHWC, no bias), optionally with the f32
+    per-channel moment sums over (H, W): returns y or (y, s1, s2) with
+    s1, s2 of shape (N, C_out) — exactly the reductions group_norm_coeffs
+    feeds on (models/unet.py), computed here from the pre-rounding f32
+    accumulator."""
+    n, h, w, c = x.shape
+    kh, kw, kc, f = kernel.shape
+    if (kh, kw) != (3, 3) or kc != c:
+        raise ValueError(f"conv3x3_pair: kernel {kernel.shape} vs input C={c}")
+    if w % 2 or h % ht:
+        raise ValueError(f"conv3x3_pair needs even W and H % {ht} == 0")
+    nt = h // ht
+    wp = _pack_weights(kernel, x.dtype)
+
+    kfn = functools.partial(_conv_kernel, Ht=ht, W=w, C=c, F=f, N=n, nt=nt,
+                            stats=stats, out_dtype=x.dtype)
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h, w, f), x.dtype),
+        jax.ShapeDtypeStruct((n, nt, 1, f), jnp.float32),
+        jax.ShapeDtypeStruct((n, nt, 1, f), jnp.float32),
+    ]
+    y, s1, s2 = pl.pallas_call(
+        kfn,
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights, whole
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ht, w, f), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, f), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, f), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, ht + 2, w, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+    )(wp, x)
+    if not stats:
+        return y
+    return y, jnp.sum(s1[:, :, 0], axis=1), jnp.sum(s2[:, :, 0], axis=1)
