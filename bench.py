@@ -27,6 +27,10 @@ def main():
 
     num_iterations = int(os.environ.get("BENCH_ITERS", 1000))
     chunk = int(os.environ.get("BENCH_CHUNK", 16))
+    # secondary benchmark: the reference's `-resize N` MC configuration
+    # (Dropblock_Uncertainty.py:52-61) — square-pad + bilinear resize before
+    # the ensemble. 0 = native (the driver's headline metric).
+    resize = int(os.environ.get("BENCH_RESIZE", 0))
     h, w = 584, 565
 
     cfg = canonical_config(dtype=jnp.bfloat16)
@@ -50,7 +54,8 @@ def main():
     params = model.init(jax.random.PRNGKey(0), im)["params"]
 
     engine = MCDropBlockEngine(
-        model, num_iterations=num_iterations, return_num=0, chunk=chunk
+        model, num_iterations=num_iterations, return_num=0, chunk=chunk,
+        resize=resize if resize else -1,
     )
 
     def sync(mean, std):
@@ -80,10 +85,13 @@ def main():
 
     best = min(times)
     passes_per_sec = num_iterations / best
+    metric = "mc_dropblock_passes_per_sec_584x565_1chip"
+    if resize:
+        metric = f"mc_dropblock_passes_per_sec_resize{resize}_1chip"
     print(
         json.dumps(
             {
-                "metric": "mc_dropblock_passes_per_sec_584x565_1chip",
+                "metric": metric,
                 "value": round(passes_per_sec, 2),
                 "unit": "passes/sec",
                 "vs_baseline": round(passes_per_sec / 1000.0, 4),

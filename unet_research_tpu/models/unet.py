@@ -407,6 +407,7 @@ class _Layers(nn.Module):
             and cfg.same_padding
             and cfg.norm is not None  # bias-free under norm
             and 2 * features <= 128
+            and x.shape[-1] % 8 == 0  # C=1 stem conv: K=2 GEMM, lane-1 layout
             and x.shape[-2] % 2 == 0
             and x.shape[-3] % 8 == 0
         ):
