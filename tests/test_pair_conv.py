@@ -65,6 +65,25 @@ def test_supported_predicate():
     assert not pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "SAME", True)
 
 
+def test_model_path_pair_conv_interpret(rng, monkeypatch):
+    """conv_impl='pair' through the tiny UNet on CPU (interpret hook): the
+    full model wiring — eligibility gates, moment-sum plumbing into
+    group_norm_coeffs_from_sums — matches the XLA lowering with shared
+    params. f32 end to end so only the GN-from-sums algebra differs."""
+    import unet_research_tpu.ops.pallas.pair_conv as pc
+    from unet_research_tpu.models.unet import UNet, canonical_config
+
+    monkeypatch.setattr(pc, "INTERPRET", True)
+    cfg = canonical_config(filters=8, model_depth=2, group_norm_groups=4,
+                           dtype=jnp.float32, conv_impl="pair")
+    cfg_x = dataclasses.replace(cfg, conv_impl="xla")
+    x = jnp.asarray(rng.random((1, 48, 40, 1), np.float32))
+    params = UNet(cfg_x).init(jax.random.PRNGKey(0), x)
+    yp = np.asarray(UNet(cfg).apply(params, x))
+    yx = np.asarray(UNet(cfg_x).apply(params, x))
+    np.testing.assert_allclose(yp, yx, rtol=2e-4, atol=2e-4)
+
+
 @tpu_only
 def test_model_path_pair_conv(rng):
     """conv_impl='pair' through the tiny UNet on TPU: eval forward matches

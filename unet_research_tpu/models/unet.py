@@ -411,8 +411,10 @@ class _Layers(nn.Module):
             and x.shape[-2] % 2 == 0
             and x.shape[-3] % 8 == 0
         ):
+            from unet_research_tpu.ops.pallas import pair_conv as _pc
+
             try:
-                on_tpu = jax.default_backend() in ("tpu", "axon")
+                on_tpu = _pc.INTERPRET or jax.default_backend() in ("tpu", "axon")
             except Exception:
                 on_tpu = False
             if on_tpu:

@@ -50,6 +50,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Test hook: force interpret-mode execution (and model-path eligibility)
+# off-TPU, so the conv_impl='pair' wiring is covered on the CPU suite.
+INTERPRET = False
+
+
 def pair_conv_supported(x_shape, kh: int, kw: int, strides, padding,
                         use_bias: bool, ht: int = 8) -> bool:
     n, h, w, c = x_shape
@@ -174,12 +179,14 @@ def _conv_kernel(wp_ref, x_ref, out_ref, s1_ref, s2_ref, xt_ref, sems,
 
 
 def conv3x3_pair(x, kernel, *, stats: bool = False, ht: int = 8,
-                 interpret=False):
+                 interpret=None):
     """y = conv3x3_same(x, kernel) (NHWC, no bias), optionally with the f32
     per-channel moment sums over (H, W): returns y or (y, s1, s2) with
     s1, s2 of shape (N, C_out) — exactly the reductions group_norm_coeffs
     feeds on (models/unet.py), computed here from the pre-rounding f32
     accumulator."""
+    if interpret is None:
+        interpret = INTERPRET
     n, h, w, c = x.shape
     kh, kw, kc, f = kernel.shape
     if (kh, kw) != (3, 3) or kc != c:
