@@ -14,14 +14,73 @@ passes/sec/chip (there are no published upstream numbers; BASELINE.md).
 
 import json
 import os
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+# The shipping configuration: the fastest TPU-validated (conv, mask) pipeline
+# pair. Explicit constants (not env-only) so the driver's plain
+# `python bench.py` always measures the real state of the framework; the
+# UNET_CONV_IMPL / UNET_DB_IMPL env vars still override for ladder runs.
+# Last TPU-validated ladder: PERF.md.
+DEFAULT_CONV_IMPL = "xla"
+DEFAULT_MASK_IMPL = "elementwise"
+
+
+def _devices_with_retry(get_devices, attempts: int, sleep_s: float):
+    """Claim the backend with a bounded retry.
+
+    The axon TPU pool's transient-outage signature is a long block in
+    backend init followed by `RuntimeError: Unable to initialize backend
+    'axon': UNAVAILABLE ...` (memory: each failed claim costs ~28 min).
+    A single such failure must degrade to a late number, not an rc=1 round
+    (BENCH_r03 was lost to exactly this).
+    """
+    last = None
+    for i in range(attempts):
+        try:
+            return get_devices()
+        except RuntimeError as e:  # jax raises RuntimeError on backend-init failure
+            last = e
+            print(
+                f"bench: backend init failed (attempt {i + 1}/{attempts}): {e}",
+                file=sys.stderr,
+                flush=True,
+            )
+            if i + 1 < attempts:
+                time.sleep(sleep_s)
+    raise last
+
+
+def _get_devices():
+    import jax
+
+    # Honor JAX_PLATFORMS programmatically: jax is pre-imported at
+    # interpreter startup in this environment and the axon plugin forces its
+    # platform, so the env var alone does not stick (same reason
+    # tests/conftest.py uses config.update). Without this, the CPU retry
+    # test would block ~28 min on a real TPU claim.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    # test hook: simulate the first N claim attempts failing
+    sim = int(os.environ.get("BENCH_SIM_INIT_FAIL", 0))
+    if sim > 0:
+        os.environ["BENCH_SIM_INIT_FAIL"] = str(sim - 1)
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: simulated"
+        )
+    return jax.devices()
 
 
 def main():
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
+    retry_sleep = float(os.environ.get("BENCH_RETRY_SLEEP", 120))
+    _devices_with_retry(_get_devices, attempts, retry_sleep)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from unet_research_tpu.models import DropBlockConfig, UNet, UNetConfig, canonical_config
     from unet_research_tpu.uncertainty import MCDropBlockEngine
 
@@ -31,18 +90,32 @@ def main():
     # (Dropblock_Uncertainty.py:52-61) — square-pad + bilinear resize before
     # the ensemble. 0 = native (the driver's headline metric).
     resize = int(os.environ.get("BENCH_RESIZE", 0))
-    h, w = 584, 565
+    # test-only shrink knobs (the retry-path subprocess test runs a tiny
+    # model on CPU); defaults are the canonical workload and the metric name
+    # reflects the measured size, so the headline name stays stable.
+    h, w = (int(v) for v in os.environ.get("BENCH_HW", "584x565").split("x"))
+    tiny = {}
+    if os.environ.get("BENCH_FILTERS"):
+        tiny["filters"] = int(os.environ["BENCH_FILTERS"])
+    if os.environ.get("BENCH_DEPTH"):
+        tiny["model_depth"] = int(os.environ["BENCH_DEPTH"])
+    if os.environ.get("BENCH_GROUPS"):
+        tiny["group_norm_groups"] = int(os.environ["BENCH_GROUPS"])
 
-    cfg = canonical_config(dtype=jnp.bfloat16)
+    cfg = canonical_config(dtype=jnp.bfloat16, **tiny)
     cfg = UNetConfig(
         **{
             **cfg.__dict__,
             "dropblock": DropBlockConfig(
-                kind="dependent", block_size=7, drop_prob=0.15, use_scheduler=False
+                kind="dependent",
+                block_size=7,
+                drop_prob=0.15,
+                use_scheduler=False,
+                # mask pipeline: 'elementwise' | 'kernel' | 'fused'
+                mask_impl=os.environ.get("UNET_DB_IMPL") or DEFAULT_MASK_IMPL,
             ),
-            # 3x3-conv lowering for the ladder runs: 'xla' | 'pair'
-            # (UNET_DB_IMPL selects the mask pipeline the same way)
-            "conv_impl": os.environ.get("UNET_CONV_IMPL", "xla"),
+            # 3x3-conv lowering: 'xla' | 'pair'
+            "conv_impl": os.environ.get("UNET_CONV_IMPL") or DEFAULT_CONV_IMPL,
         }
     )
     model = UNet(cfg)
@@ -61,7 +134,7 @@ def main():
     def sync(mean, std):
         # host scalar fetch: the only reliable execution barrier on the
         # remote-tunnel backend (block_until_ready returns early on the
-        # first post-compile dispatch there)
+        # first post-compile call there)
         return float(jnp.sum(mean) + jnp.sum(std))
 
     # warmups (compile + one clean execution)
@@ -85,7 +158,7 @@ def main():
 
     best = min(times)
     passes_per_sec = num_iterations / best
-    metric = "mc_dropblock_passes_per_sec_584x565_1chip"
+    metric = f"mc_dropblock_passes_per_sec_{h}x{w}_1chip"
     if resize:
         metric = f"mc_dropblock_passes_per_sec_resize{resize}_1chip"
     print(

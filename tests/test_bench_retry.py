@@ -1,0 +1,57 @@
+"""bench.py outage resilience: a transient backend-init failure must degrade
+to a late measurement (rc=0, one JSON line), not a lost round.
+
+BENCH_r03 was lost to a single axon UNAVAILABLE claim failure; bench.py now
+retries backend init a bounded number of times (BENCH_ATTEMPTS) before
+giving up. The simulated failure uses bench.py's BENCH_SIM_INIT_FAIL hook.
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+_TINY_ENV = {
+    "JAX_PLATFORMS": "cpu",
+    "XLA_FLAGS": "--xla_backend_optimization_level=0",
+    "BENCH_RETRY_SLEEP": "0",
+    "BENCH_ITERS": "2",
+    "BENCH_CHUNK": "2",
+    "BENCH_HW": "48x40",
+    "BENCH_FILTERS": "4",
+    "BENCH_DEPTH": "2",
+    "BENCH_GROUPS": "2",
+}
+
+
+def _run_bench(extra_env):
+    env = {**os.environ, **_TINY_ENV, **extra_env}
+    return subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+def test_bench_survives_transient_init_failure():
+    out = _run_bench({"BENCH_SIM_INIT_FAIL": "1", "BENCH_ATTEMPTS": "3"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "attempt 1/3" in out.stderr
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1  # exactly one JSON line (CLAUDE.md invariant)
+    rec = json.loads(lines[0])
+    assert rec["unit"] == "passes/sec"
+    assert rec["value"] > 0
+    assert rec["metric"] == "mc_dropblock_passes_per_sec_48x40_1chip"
+
+
+def test_bench_gives_up_after_bounded_attempts():
+    out = _run_bench({"BENCH_SIM_INIT_FAIL": "5", "BENCH_ATTEMPTS": "2"})
+    assert out.returncode != 0
+    assert "attempt 2/2" in out.stderr

@@ -65,6 +65,75 @@ def test_supported_predicate():
     assert not pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "SAME", True)
 
 
+@pytest.mark.parametrize("stats", [False, True])
+def test_grad_matches_xla_conv_interpret(rng, stats):
+    """Custom VJP vs jax.grad of lax.conv on the same scalar loss, with the
+    stats side outputs (when on) also contributing through a GN-like use."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 12, 8)).astype(np.float32))
+    k = jnp.asarray(0.1 * rng.standard_normal((3, 3, 8, 4)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((2, 16, 12, 4)).astype(np.float32))
+
+    def loss_pair(x, k):
+        if stats:
+            y, s1, s2 = conv3x3_pair(x, k, stats=True, interpret=True)
+            return jnp.sum(y * w) + jnp.sum(jnp.sin(s1)) + jnp.sum(s2 * 1e-2)
+        return jnp.sum(conv3x3_pair(x, k, interpret=True) * w)
+
+    def loss_ref(x, k):
+        y = _ref_conv(x, k)
+        if stats:
+            y64 = y.astype(jnp.float32)
+            s1 = jnp.sum(y64, axis=(1, 2))
+            s2 = jnp.sum(y64 * y64, axis=(1, 2))
+            return jnp.sum(y * w) + jnp.sum(jnp.sin(s1)) + jnp.sum(s2 * 1e-2)
+        return jnp.sum(y * w)
+
+    dx_p, dk_p = jax.grad(loss_pair, argnums=(0, 1))(x, k)
+    dx_r, dk_r = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk_p), np.asarray(dk_r),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_model_train_grads_pair_vs_xla_interpret(rng, monkeypatch):
+    """Full training gradient with conv_impl='pair' (interpret) vs 'xla' on a
+    tiny UNet + masked-BCE loss: the VJP composes through GN-from-sums,
+    fold_rescale and remat."""
+    import dataclasses as dc
+
+    import unet_research_tpu.ops.pallas.pair_conv as pc
+    from unet_research_tpu.models.unet import UNet, canonical_config
+    from unet_research_tpu.ops.losses import masked_rescaled_bce
+
+    monkeypatch.setattr(pc, "INTERPRET", True)
+    cfg = canonical_config(filters=8, model_depth=2, group_norm_groups=4,
+                           dtype=jnp.float32, conv_impl="pair", remat=True)
+    cfg_x = dc.replace(cfg, conv_impl="xla")
+    x = jnp.asarray(rng.random((1, 48, 40, 1), np.float32))
+    gt = jnp.asarray((rng.random((1, 48, 40, 1)) > 0.5).astype(np.float32))
+    fov = jnp.ones_like(gt)
+    params = UNet(cfg_x).init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p, cfg):
+        pred = UNet(cfg).apply(
+            {"params": p}, x, drop_prob=0.1,
+            rngs={"dropblock": jax.random.PRNGKey(7)},
+        )
+        return masked_rescaled_bce(pred, gt, fov)
+
+    gp = jax.grad(loss)(params, cfg)
+    gx = jax.grad(loss)(params, cfg_x)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    flat_x = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gx)}
+    for key, v in flat_p:
+        ref = flat_x[jax.tree_util.keystr(key)]
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ref),
+                                   rtol=5e-3, atol=5e-5,
+                                   err_msg=jax.tree_util.keystr(key))
+
+
 def test_model_path_pair_conv_interpret(rng, monkeypatch):
     """conv_impl='pair' through the tiny UNet on CPU (interpret hook): the
     full model wiring — eligibility gates, moment-sum plumbing into

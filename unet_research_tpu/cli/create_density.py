@@ -3,7 +3,11 @@ its three analysis payload scripts, consolidated).
 
 Usage:
   python -m unet_research_tpu.cli.create_density -results_root RUNS \
-      -save_path RUNS/density [-aug_root AUG] [-kinds std,cv,hist] [-models BM-1,...]
+      -save_path RUNS/density [-aug_root AUG] [-kinds std,cv,did,hist] [-models BM-1,...]
+
+The default kinds are 'std,cv'; 'did' (the reference's create_density_DID
+dependent-vs-independent overlays, also submitted by its create_density.py
+driver) and 'hist' are opt-in.
 """
 
 from __future__ import annotations
@@ -19,9 +23,11 @@ def main(argv=None):
     parser.add_argument("-save_path", dest="save_path", required=True)
     parser.add_argument("-aug_root", dest="aug_root", default=None,
                         help="augmented data root (for FOV masks in CV plots)")
-    # default matches the reference's default output set: create_density.py
-    # submits the STD/CV/DID payloads; create_density_STD.py only DEFINES the
-    # histogram battery and never invokes it, so 'hist' is opt-in here.
+    # The reference's create_density.py submits the STD/CV/DID payloads, but
+    # DID needs dependent-MC tensors that only exist when run_matrix ran with
+    # --with_dependent, so 'did' is opt-in here (run_matrix adds it when the
+    # tensors exist); create_density_STD.py only DEFINES the histogram
+    # battery and never invokes it, so 'hist' is opt-in too.
     parser.add_argument("-kinds", dest="kinds", default="std,cv")
     parser.add_argument("-models", dest="models", default=",".join(MODELS))
     args, _ = parser.parse_known_args(argv)

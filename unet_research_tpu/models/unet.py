@@ -97,8 +97,10 @@ class UNetConfig:
     # C_out <= 64, where XLA's GEMM runs the MXU at half output width
     # (34% MFU measured at the 592x576 top level, PERF.md round 3). The
     # kernel also emits the GroupNorm moment sums so no stat pass reads the
-    # activation. Forward-only (no VJP): use for inference/MC ensembles;
-    # ineligible sites (C_out > 64, VALID padding, ragged H) fall back to XLA.
+    # activation. Differentiable (custom VJP: dx rides the same pair kernel,
+    # dK is one XLA correlation GEMM — ops/pallas/pair_conv.py), so training
+    # shares the MXU win. Ineligible sites (C_out > 64, VALID padding,
+    # ragged H) fall back to XLA.
     conv_impl: str = "xla"
     # Fold the DropBlock rescale through the network algebra (GroupNorm-gated).
     #
@@ -118,10 +120,12 @@ class UNetConfig:
     # The other sites' counts are mathematically irrelevant and are skipped
     # entirely; the surviving scales are PER-SAMPLE (N,), which is exactly
     # the reference's serial batch-1 semantics for a batched MC chunk.
-    # Exact-math-equivalent (fp rounding differs, like group_norm_affine);
-    # active only when norm == 'group' (bias-free convs + GN annihilation
-    # are what make the algebra hold). Pinned by
-    # tests/test_unet_perf_ops.py::test_fold_rescale_matches_inline.
+    # Near-exact, not bit-exact: GN(s*x) = GN(x) holds exactly only at
+    # eps = 0; with eps = 1e-5 the omitted scales perturb outputs by
+    # O(eps * (s^2 - 1) / var) — well under bf16 rounding noise and pinned
+    # at 2e-4 by tests/test_unet_perf_ops.py::test_fold_rescale_matches_inline.
+    # Active only when norm == 'group' (bias-free convs + GN annihilation
+    # are what make the algebra hold).
     fold_rescale: bool = True
 
     def __post_init__(self):
@@ -213,7 +217,9 @@ def group_norm_coeffs_from_sums(s1, s2, hw: int, scale, bias,
     g2 = s2.reshape(n, num_groups, cg).sum(-1)
     cnt = float(hw * cg)
     mean = g1 / cnt
-    var = g2 / cnt - mean * mean
+    # E[x^2] - E[x]^2 can cancel below 0 in f32 on large-mean activations;
+    # clamp like flax nn.GroupNorm does so rsqrt never sees a negative
+    var = jnp.maximum(g2 / cnt - mean * mean, 0.0)
     mul = jax.lax.rsqrt(var + eps)  # [N, G]
     mul = jnp.repeat(mul, cg, axis=1)  # [N, C]
     meanc = jnp.repeat(mean, cg, axis=1)

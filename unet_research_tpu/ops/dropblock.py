@@ -59,7 +59,14 @@ def _resolve_impl(mask_impl) -> str:
 
 
 def _kernel_ok(block_size: int) -> bool:
-    if block_size % 2 != 1 or block_size <= 1:
+    # delegate the shape gate to the kernel (odd 1 < b <= 2*STRIP+1 = 17) so
+    # oversized block sizes fall back to the elementwise pipeline instead of
+    # raising from inside the kernel
+    from unet_research_tpu.ops.pallas.dropblock_kernel import (
+        pallas_dropblock_supported,
+    )
+
+    if not pallas_dropblock_supported(block_size):
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")

@@ -35,8 +35,17 @@ before this tile's matmuls — so every input byte crosses HBM exactly once
 and the fetch overlaps compute (a block-mapped halo would triple the input
 traffic: three overlapping tile views).
 
-Forward-only (no VJP): training keeps the XLA conv; this kernel serves the
-inference-mode MC/TTA ensembles (the bench.py workload).
+Differentiable: a custom VJP routes the input gradient back through the same
+pair kernel (dx is itself a 3x3 SAME conv — of the cotangent with the
+spatially-rotated, channel-transposed kernel, so it has the same C_out=64
+lane problem the forward does) and computes the weight gradient as one XLA
+correlation (a single (9C, NHW) @ (NHW, F) GEMM — contraction-dominated, not
+lane-limited). The stats side outputs are differentiated exactly:
+s1 = sum y, s2 = sum y^2 over (H, W), so their cotangents fold into the
+output cotangent as g = dy + ds1 + 2*y*ds2 before the conv-transpose
+(rounding bf16 acc -> y treated as identity, the standard AD convention).
+Training therefore shares the MXU win (the reference leaves both directions
+to cuDNN, utils_unet.py:221).
 """
 
 from __future__ import annotations
@@ -184,9 +193,13 @@ def conv3x3_pair(x, kernel, *, stats: bool = False, ht: int = 8,
     per-channel moment sums over (H, W): returns y or (y, s1, s2) with
     s1, s2 of shape (N, C_out) — exactly the reductions group_norm_coeffs
     feeds on (models/unet.py), computed here from the pre-rounding f32
-    accumulator."""
+    accumulator. Differentiable (custom VJP, module docstring)."""
     if interpret is None:
         interpret = INTERPRET
+    return _pair_vjp(x, kernel, stats, ht, bool(interpret))
+
+
+def _conv3x3_pair_impl(x, kernel, stats: bool, ht: int, interpret: bool):
     n, h, w, c = x.shape
     kh, kw, kc, f = kernel.shape
     if (kh, kw) != (3, 3) or kc != c:
@@ -228,3 +241,73 @@ def conv3x3_pair(x, kernel, *, stats: bool = False, ht: int = 8,
     if not stats:
         return y
     return y, jnp.sum(s1[:, :, 0], axis=1), jnp.sum(s2[:, :, 0], axis=1)
+
+
+def _xla_conv3x3_same(x, kernel):
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _rot_transpose(kernel):
+    """The dx kernel: K'[a, b, f, c] = K[2-a, 2-b, c, f] — a 3x3 SAME conv of
+    the output cotangent with K' is exactly the input gradient of a 3x3 SAME
+    conv with K."""
+    return jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))
+
+
+def _dkernel(x, g):
+    """dK[di, dj, c, f] = sum_{n,h,w} x_pad[n, h+di-1, w+dj-1, c] * g[n,h,w,f]
+    as one XLA conv: batch <- C, contraction <- (N, H, W)."""
+    dk = lax.conv_general_dilated(
+        jnp.transpose(x, (3, 1, 2, 0)),   # (C, H, W, N)
+        jnp.transpose(g, (1, 2, 0, 3)),   # (H, W, N, F) as HWIO
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )  # (C, 3, 3, F)
+    return jnp.transpose(dk, (1, 2, 0, 3))
+
+
+def _dx_conv(g, kernel, ht: int, interpret: bool):
+    """Input gradient, routed through the pair kernel when the cotangent's
+    shape is eligible (it is, for every site the forward was)."""
+    kt = _rot_transpose(kernel).astype(g.dtype)
+    n, h, w, f = g.shape
+    if w % 2 == 0 and h % ht == 0 and 2 * kt.shape[-1] <= 128 and f % 8 == 0:
+        return _conv3x3_pair_impl(g, kt, stats=False, ht=ht,
+                                  interpret=interpret)
+    return _xla_conv3x3_same(g, kt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _pair_vjp(x, kernel, stats, ht, interpret):
+    return _conv3x3_pair_impl(x, kernel, stats, ht, interpret)
+
+
+def _pair_vjp_fwd(x, kernel, stats, ht, interpret):
+    out = _conv3x3_pair_impl(x, kernel, stats, ht, interpret)
+    y = out[0] if stats else out
+    return out, (x, kernel, y if stats else None)
+
+
+def _pair_vjp_bwd(stats, ht, interpret, res, cot):
+    x, kernel, y = res
+    if stats:
+        dy, ds1, ds2 = cot
+        # s1 = sum_{h,w} y, s2 = sum_{h,w} y^2 (f32 accumulator; bf16
+        # rounding of y treated as identity): fold into the output cotangent
+        g = (dy.astype(jnp.float32)
+             + ds1[:, None, None, :]
+             + 2.0 * y.astype(jnp.float32) * ds2[:, None, None, :])
+        g = g.astype(dy.dtype)
+    else:
+        g = cot
+    dx = _dx_conv(g, kernel, ht, interpret).astype(x.dtype)
+    dk = _dkernel(x, g).astype(kernel.dtype)
+    return dx, dk
+
+
+_pair_vjp.defvjp(_pair_vjp_fwd, _pair_vjp_bwd)
