@@ -33,6 +33,7 @@ from unet_research_tpu.utils.convert import (
     assert_params_match,
     load_torch_checkpoint,
     torch_state_dict_to_params,
+    torch_state_dict_to_variables,
 )
 
 REF_ROOT = "/root/reference/Unet_research/unet_code"
@@ -136,6 +137,10 @@ def _build_reference(cfg: UNetConfig, seed: int = 0):
     )
     if cfg.activation == "relu":
         unet.set_activation_function(nn.ReLU())
+    elif cfg.activation == "elu":
+        unet.set_activation_function(nn.ELU())
+    elif cfg.activation == "tanh":
+        unet.set_activation_function(nn.Tanh())
     else:
         unet.set_activation_function(nn.LeakyReLU(cfg.negative_slope))
     if cfg.norm == "group":
@@ -143,7 +148,21 @@ def _build_reference(cfg: UNetConfig, seed: int = 0):
             nn.GroupNorm,
             params={"num_groups": cfg.group_norm_groups, "num_channels": "fill"},
         )
+    elif cfg.norm == "batch":
+        # the builder's any-norm-class contract with 'fill' substitution,
+        # exercised with BatchNorm2d in base_model_tests/test.ipynb
+        unet.set_normalization(nn.BatchNorm2d, params={"num_features": "fill"})
     unet.create_model()
+    if cfg.norm == "batch":
+        # non-trivial running stats so the converter's batch_stats mapping is
+        # actually load-bearing (fresh init is mean 0 / var 1)
+        g = torch.Generator().manual_seed(seed + 99)
+        for m in unet.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.copy_(
+                    torch.rand(m.running_mean.shape, generator=g) - 0.5)
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=g) + 0.5)
     unet.eval()
     return unet
 
@@ -156,15 +175,15 @@ def _compare(cfg: UNetConfig, h: int, w: int, seed: int = 0, tol: float = 1e-4):
     with torch.no_grad():
         ref_out = ref(torch.from_numpy(x)).numpy()
 
-    params = torch_state_dict_to_params(ref.state_dict(), cfg)
+    variables = torch_state_dict_to_variables(ref.state_dict(), cfg)
     model = UNet(cfg)
     template = model.init(
         __import__("jax").random.PRNGKey(0), jnp.zeros((1, h, w, cfg.init_channels))
-    )["params"]
-    assert_params_match(template, params)
-    ours = model.apply(
-        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
     )
+    assert_params_match(template["params"], variables["params"])
+    if "batch_stats" in template:
+        assert_params_match(template["batch_stats"], variables["batch_stats"])
+    ours = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
     ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
 
     assert ref_out.shape == ours.shape
@@ -229,6 +248,24 @@ class TestVariantParity:
             filters=8, model_depth=2, group_norm_groups=4, same_padding=False
         )
         _compare(cfg, 64, 64)
+
+    def test_batchnorm_elu(self):
+        """The builder's any-norm/any-activation contract
+        (utils_unet.py:136-160), exercised the way the reference's
+        test.ipynb does with BatchNorm2d — eval mode reads the converted
+        running stats (randomized in _build_reference so the batch_stats
+        mapping is load-bearing)."""
+        cfg = canonical_config(
+            filters=8, model_depth=2, norm="batch", activation="elu"
+        )
+        _compare(cfg, 48, 48)
+
+    def test_batchnorm_tanh_convpool(self):
+        cfg = canonical_config(
+            filters=8, model_depth=2, norm="batch", activation="tanh",
+            pool_mode="conv",
+        )
+        _compare(cfg, 32, 32)
 
 
 class TestCheckpointRoundtrip:

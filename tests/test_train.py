@@ -264,3 +264,79 @@ def test_scan_epochs_matches_per_step(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=2e-3)
     assert int(st_a.step) == int(st_b.step)
+
+
+def test_fit_batchnorm_end_to_end(tmp_path):
+    """norm='batch' through the full trainer: batch stats update during
+    training (mutable collection through the scan path), ride the checkpoint
+    as a variables bundle, and drive eval (use_running_average)."""
+    cfg = canonical_config(
+        filters=8, model_depth=2, norm="batch",
+        dropblock=DropBlockConfig(kind="dependent", block_size=3,
+                                  use_scheduler=False, drop_prob=0.05),
+    )
+    model = UNet(cfg)
+    tcfg = TrainerConfig(max_epochs=2, lr=0.01, auto_lr_find=False, seed=9,
+                         verbose=False)
+    trainer = Trainer(model, POLICIES["none"], tcfg)
+
+    init_bundle = trainer.init_params(seed=9)
+    assert "batch_stats" in init_bundle  # init returns the bundle
+
+    state, history, keeper = trainer.fit(
+        _tiny_dataset(), _tiny_dataset(2, seed=1), str(tmp_path / "mi")
+    )
+    assert all(np.isfinite(v) for v in history["train_loss_epoch"])
+
+    # running stats moved away from the (0, 1) init
+    means = [np.asarray(v) for k, v in
+             jax.tree_util.tree_leaves_with_path(state.batch_stats)
+             if "mean" in jax.tree_util.keystr(k)]
+    assert any(np.abs(m).max() > 1e-4 for m in means)
+
+    # checkpoint stores the bundle: the restored params + running stats must
+    # reproduce the recorded best val loss exactly (stale or missing
+    # batch_stats would shift it)
+    template = trainer.init_params(seed=0)
+    bundle, _, _ = load_checkpoint(keeper.best_path, template)
+    assert "batch_stats" in bundle
+    v2 = trainer.validate(bundle, _tiny_dataset(2, seed=1))
+    assert v2 == pytest.approx(keeper.best_metric, rel=1e-6)
+
+    # eval normalizes with running stats, not batch stats: a constant input
+    # still yields a non-degenerate (finite, in-[0,1]) prediction
+    preds = list(trainer.predict(bundle, _tiny_dataset(2, seed=2)))
+    seg = preds[0][1]
+    assert np.isfinite(seg).all() and seg.min() >= 0.0 and seg.max() <= 1.0
+
+
+def test_batchnorm_torch_semantics(rng):
+    """One train-mode forward of a single site vs torch BatchNorm2d: batch
+    normalization and the running-stat update rule (momentum 0.1) agree."""
+    cfg = canonical_config(filters=8, model_depth=2, norm="batch",
+                           dropblock=DropBlockConfig(kind=None))
+    model = UNet(cfg)
+    x = rng.standard_normal((4, 16, 16, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)))
+
+    _, upd = model.apply(variables, jnp.asarray(x), train=True,
+                         mutable=["batch_stats"])
+    new_stats = upd["batch_stats"]
+
+    # reproduce the first conv + BN site in torch
+    k = np.asarray(variables["params"]["down0"]["conv0"]["kernel"])
+    conv = torch.nn.Conv2d(1, 8, 3, padding=1, bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(np.transpose(k, (3, 2, 0, 1))))
+    bn = torch.nn.BatchNorm2d(8)
+    bn.train()
+    with torch.no_grad():
+        bn(conv(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))))
+    got_mean = np.asarray(new_stats["down0"]["norm0"]["mean"])
+    got_var = np.asarray(new_stats["down0"]["norm0"]["var"])
+    np.testing.assert_allclose(got_mean, bn.running_mean.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    # flax updates running_var with the biased batch variance; torch with
+    # unbiased (factor n/(n-1), n = N*H*W = 1024) — tolerance covers it
+    np.testing.assert_allclose(got_var, bn.running_var.numpy(),
+                               rtol=3e-3, atol=1e-5)

@@ -28,6 +28,7 @@ from unet_research_tpu.evaluation.metrics import final_test_metrics
 from unet_research_tpu.ops.image import resize_bilinear, square_pad
 from unet_research_tpu.train.checkpoint import load_checkpoint
 from unet_research_tpu.utils.general import create_dir, seed_everything
+from unet_research_tpu.models.unet import as_variables
 
 
 def evaluate_at(model, params, val_ds, test_ds, h: int, w: int, out_dir: str):
@@ -36,7 +37,7 @@ def evaluate_at(model, params, val_ds, test_ds, h: int, w: int, out_dir: str):
         im = resize_bilinear(square_pad(im), (h, w))
         gt = resize_bilinear(square_pad(gt), (h, w))
         mask = resize_bilinear(square_pad(mask), (h, w))
-        seg = model.apply({"params": params}, im)
+        seg = model.apply(as_variables(params), im)
         return seg * mask, im, gt, mask
 
     def predict(ds):

@@ -85,9 +85,23 @@ class UNetConfig:
     connection: str = "cat"  # 'cat' | 'add' | 'none'
     same_padding: bool = True
     conv_layers_per_block: int = 2
-    norm: Optional[str] = "group"  # 'group' | None
+    # Normalization plug-in (reference set_normalization accepts any
+    # class+params with 'fill' channel substitution, utils_unet.py:136-153;
+    # its exercised instantiations are GroupNorm — every entry point — and
+    # BatchNorm2d, base_model_tests/test.ipynb). Here: 'group' | 'batch' |
+    # None. The 'fill' contract is inherent: channel counts come from the
+    # input's last axis at each site. 'batch' is torch BatchNorm2d semantics
+    # (eps 1e-5, momentum 0.1 -> flax momentum 0.9; running stats live in
+    # the 'batch_stats' collection, updated when __call__ gets train=True;
+    # flax updates running_var with the biased batch variance where torch
+    # uses unbiased — an n/(n-1) factor, negligible at n = N*H*W).
+    norm: Optional[str] = "group"
     group_norm_groups: int = 32
-    activation: str = "relu"  # 'relu' | 'leaky_relu'
+    # Activation plug-in (reference set_activation_function accepts any
+    # module, utils_unet.py:155-160; exercised with ReLU everywhere).
+    # 'relu' | 'leaky_relu' | 'elu' | 'gelu' | 'silu' | 'tanh' | 'sigmoid'
+    # | 'none' — the torch activation modules a reference user could pass.
+    activation: str = "relu"
     negative_slope: float = 0.01
     dropblock: DropBlockConfig = dataclasses.field(default_factory=DropBlockConfig)
     remat: bool = False
@@ -139,6 +153,12 @@ class UNetConfig:
             raise ValueError("Convolutional Layers in each block must be 2 or more.")
         if self.dropblock.kind not in (None, "dependent", "independent"):
             raise ValueError("dropblock.kind must be dependent/independent/None")
+        if self.norm not in (None, "group", "batch"):
+            raise ValueError("norm must be 'group', 'batch' or None")
+        if self.activation not in (
+            "relu", "leaky_relu", "elu", "gelu", "silu", "tanh", "sigmoid", "none"
+        ):
+            raise ValueError(f"unknown activation {self.activation!r}")
 
 
 def canonical_config(**overrides) -> UNetConfig:
@@ -282,13 +302,26 @@ class _Layers(nn.Module):
     cfg: UNetConfig
 
     def _act(self, x):
-        if self.cfg.activation == "relu":
+        a = self.cfg.activation
+        if a == "relu":
             return nn.relu(x)
-        if self.cfg.activation == "leaky_relu":
+        if a == "leaky_relu":
             return nn.leaky_relu(x, negative_slope=self.cfg.negative_slope)
-        raise ValueError(f"unknown activation {self.cfg.activation}")
+        if a == "elu":
+            return nn.elu(x)  # torch nn.ELU(alpha=1.0)
+        if a == "gelu":
+            return nn.gelu(x, approximate=False)  # torch nn.GELU default
+        if a == "silu":
+            return nn.silu(x)
+        if a == "tanh":
+            return jnp.tanh(x)
+        if a == "sigmoid":
+            return nn.sigmoid(x)
+        if a == "none":
+            return x
+        raise ValueError(f"unknown activation {a}")
 
-    def _norm(self, x, name: str, sums=None):
+    def _norm(self, x, name: str, sums=None, train: bool = False):
         if self.cfg.norm is None:
             return x
         if self.cfg.norm == "group":
@@ -297,6 +330,17 @@ class _Layers(nn.Module):
                 x, scale, bias, self.cfg.group_norm_groups, 1e-5, self.cfg.dtype,
                 sums=sums,
             )
+        if self.cfg.norm == "batch":
+            # torch BatchNorm2d: eps 1e-5, momentum 0.1 (flax ra-convention
+            # momentum = 0.9); param tree 'scale'/'bias' + 'batch_stats'
+            # 'mean'/'var' (convert.py maps running_mean/running_var there)
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.cfg.dtype,
+                name=name,
+            )(x)
         raise ValueError(f"unknown norm {self.cfg.norm}")
 
     def _fold_active(self, drop_prob) -> bool:
@@ -318,6 +362,12 @@ class _Layers(nn.Module):
 
         db = self.cfg.dropblock
         if db.kind is None or drop_prob is None:
+            return False
+        # the kernel owns norm+act: it implements the GN-affine (or no norm)
+        # and relu/leaky epilogues only — other plug-ins use the XLA path
+        if self.cfg.norm not in (None, "group"):
+            return False
+        if self.cfg.activation not in ("relu", "leaky_relu"):
             return False
         return _resolve_impl(db.mask_impl) == "fused" and _kernel_ok(db.block_size)
 
@@ -372,14 +422,14 @@ class _Layers(nn.Module):
         return out * whole.astype(out.dtype)
 
     def _norm_db_act(self, x, drop_prob, idx: int, rescale: str = "apply",
-                     sums=None):
+                     sums=None, train: bool = False):
         """The conv epilogue norm -> dropblock -> act (reference conv block
         order, utils_unet.py:215-258). rescale: see _dropblock; sums: the
         producing conv's moment side outputs, if any."""
         if self._fused_impl(drop_prob):
             return self._fused_site(x, drop_prob, idx, rescale, with_act=True,
                                     sums=sums)
-        x = self._norm(x, name=f"norm{idx}", sums=sums)
+        x = self._norm(x, name=f"norm{idx}", sums=sums, train=train)
         if rescale == "defer":
             x, scale = self._dropblock(x, drop_prob, rescale="defer")
             return self._act(x), scale
@@ -424,7 +474,10 @@ class _Layers(nn.Module):
             except Exception:
                 on_tpu = False
             if on_tpu:
-                return PairConv(features, name=name)(x)
+                # the moment side outputs only pay off when GroupNorm
+                # consumes them downstream
+                return PairConv(features, stats=cfg.norm == "group",
+                                name=name)(x)
         fan_in = x.shape[-1] * 9
         y = nn.Conv(
             features=features,
@@ -447,6 +500,7 @@ class PairConv(nn.Module):
     checkpoints are interchangeable across conv_impl settings."""
 
     features: int
+    stats: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -456,6 +510,8 @@ class PairConv(nn.Module):
         ci = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init,
                             (3, 3, ci, self.features))
+        if not self.stats:
+            return conv3x3_pair(x, kernel.astype(x.dtype)), None
         y, s1, s2 = conv3x3_pair(x, kernel.astype(x.dtype), stats=True)
         return y, (s1, s2)
 
@@ -513,10 +569,15 @@ class ConvBlock(_Layers):
     the LAST mask site); earlier sites' scales are annihilated downstream
     and skipped. Always returns (x, scale) when want_scale (scale None if
     folding is inactive this trace).
+
+    train: a STATIC module attribute (not a call arg — under nn.remat a call
+    arg would be traced, and BatchNorm's use_running_average must stay a
+    Python bool). Only batch norm reads it.
     """
 
     features: Sequence[int] = ()
     want_scale: bool = False
+    train: bool = False
 
     @nn.compact
     def __call__(self, x, drop_prob=None):
@@ -526,13 +587,14 @@ class ConvBlock(_Layers):
         for i, feats in enumerate(self.features):
             x, sums = self._conv(x, feats, name=f"conv{i}")
             if not fold:
-                x = self._norm_db_act(x, drop_prob, i, sums=sums)
+                x = self._norm_db_act(x, drop_prob, i, sums=sums,
+                                      train=self.train)
             elif self.want_scale and i == last:
                 x, scale = self._norm_db_act(x, drop_prob, i, rescale="defer",
-                                             sums=sums)
+                                             sums=sums, train=self.train)
             else:
                 x = self._norm_db_act(x, drop_prob, i, rescale="skip",
-                                      sums=sums)
+                                      sums=sums, train=self.train)
         if self.want_scale:
             return x, scale
         return x
@@ -543,6 +605,7 @@ class PoolBlock(_Layers):
     (reference utils_unet.py:261-291)."""
 
     features: int = 0
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -564,7 +627,7 @@ class PoolBlock(_Layers):
                 dtype=cfg.dtype,
                 name="pool_conv",
             )(x)
-        x = self._norm(x, name="pool_norm")
+        x = self._norm(x, name="pool_norm", train=self.train)
         if cfg.pool_mode == "conv":
             x = self._act(x)
         return x
@@ -575,6 +638,7 @@ class UpBlock(_Layers):
     (reference utils_unet.py:296-322)."""
 
     features: int = 0  # output channels (= filters // 2 of the level below)
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -588,13 +652,13 @@ class UpBlock(_Layers):
                 dtype=cfg.dtype,
                 name="up_conv",
             )(x)
-            x = self._norm(x, name="up_norm")
+            x = self._norm(x, name="up_norm", train=self.train)
             return self._act(x)
         # 'upsample': torch nn.Upsample default is nearest
         n, h, w, c = x.shape
         x = jax.image.resize(x, (n, 2 * h, 2 * w, c), method="nearest")
         x, sums = self._conv(x, self.features, name="up_conv")
-        x = self._norm(x, name="up_norm", sums=sums)
+        x = self._norm(x, name="up_norm", sums=sums, train=self.train)
         return self._act(x)
 
 
@@ -633,6 +697,11 @@ class UNet(nn.Module):
       scalar => dropblock active at that probability (training, or MC
       uncertainty forcing dropblock on in eval —
       reference Dropblock_Uncertainty.py:22-25).
+    - train: static Python bool; only meaningful for norm='batch' (use batch
+      stats + update the 'batch_stats' collection — pass
+      mutable=['batch_stats'] to apply). GroupNorm/None ignore it, matching
+      torch module train/eval semantics (dropblock is controlled by
+      drop_prob, not train — the MC engines force it on in eval).
     """
 
     cfg: UNetConfig
@@ -643,7 +712,7 @@ class UNet(nn.Module):
         return cls
 
     @nn.compact
-    def __call__(self, x, drop_prob=None):
+    def __call__(self, x, drop_prob=None, train: bool = False):
         cfg = self.cfg
         x = x.astype(cfg.dtype)
         x, orig_hw = pad_to_multiple(x, 2**cfg.model_depth)
@@ -672,31 +741,33 @@ class UNet(nn.Module):
             else:
                 filters *= 2
                 feats = [filters] * cfg.conv_layers_per_block
-            blk = conv_block(cfg, tuple(feats), want_skip_scale, name=f"down{d}")
+            blk = conv_block(cfg, tuple(feats), want_skip_scale, train,
+                             name=f"down{d}")
             if want_skip_scale:
                 x, s = blk(x, drop_prob)
             else:
                 x, s = blk(x, drop_prob), None
             skips.append((x, s))
-            x = pool_block(cfg, filters, name=f"pool{d}")(x)
+            x = pool_block(cfg, filters, train, name=f"pool{d}")(x)
 
         # bottleneck ("connection block", utils_unet.py:162-207)
         filters *= 2
-        x = conv_block(cfg, (filters,) * cfg.conv_layers_per_block, name="conn")(
-            x, drop_prob
-        )
+        x = conv_block(
+            cfg, (filters,) * cfg.conv_layers_per_block, False, train,
+            name="conn",
+        )(x, drop_prob)
 
         # decoder
         head_scale = None
         for d in range(cfg.model_depth):
             filters //= 2
-            x = up_block(cfg, filters, name=f"up{d}")(x)
+            x = up_block(cfg, filters, train, name=f"up{d}")(x)
             skip_x, skip_s = skips[-1 - d]
             x = SkipMerge(cfg, name=f"skip{d}")(x, skip_x, drop_prob, skip_scale=skip_s)
             want_head_scale = fold and d == cfg.model_depth - 1
             blk = conv_block(
                 cfg, (filters,) * cfg.conv_layers_per_block, want_head_scale,
-                name=f"post{d}",
+                train, name=f"post{d}",
             )
             if want_head_scale:
                 x, head_scale = blk(x, drop_prob)
@@ -729,3 +800,22 @@ class UNet(nn.Module):
 
 def param_count(params) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+def as_variables(params) -> dict:
+    """Accept either a bare param tree or a variables bundle
+    ({'params': ..., 'batch_stats': ...} — what init/convert produce for
+    norm='batch' models) and return the apply-ready variables dict. Lets
+    every eval/inference surface (engines, CLIs, checkpoints) keep passing
+    one object regardless of the norm plug-in."""
+    from collections.abc import Mapping
+
+    if isinstance(params, Mapping) and "params" in params:
+        return dict(params)
+    return {"params": params}
+
+
+def split_variables(params):
+    """(param tree, batch_stats-or-None) from a bundle or bare params."""
+    v = as_variables(params)
+    return v["params"], v.get("batch_stats")

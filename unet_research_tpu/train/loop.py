@@ -78,14 +78,16 @@ class Trainer:
         self.mesh = mesh
         db = model.cfg.dropblock
         self._has_dropblock = db.kind is not None
+        # norm='batch' threads the running stats ('batch_stats' collection)
+        # through the steps: train mode normalizes with batch stats and
+        # updates the running ones (mutable), eval reads them
+        self._has_batch_stats = model.cfg.norm == "batch"
 
-        def forward_train(params, im, drop_prob, key):
-            return model.apply(
-                {"params": params}, im, drop_prob=drop_prob, rngs={"dropblock": key}
-            )
-
-        def forward_eval(params, im):
-            return model.apply({"params": params}, im)
+        def forward_eval(params, batch_stats, im):
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            return model.apply(variables, im)
 
         def train_step(state: TrainState, im, gt, mask, lr, base_key, size: int):
             if self._has_dropblock:
@@ -98,23 +100,44 @@ class Trainer:
                 key = jax.random.fold_in(base_key, state.step)
 
             def loss_fn(params):
-                if self._has_dropblock:
-                    fwd = lambda x: forward_train(params, x, dp, key)
-                else:
-                    fwd = lambda x: forward_eval(params, x)
-                seg, gt2, mask2 = self.policy.train_io(fwd, im, gt, mask, size)
-                return masked_rescaled_bce(seg, gt2, mask2)
+                def fwd(x):
+                    variables = {"params": params}
+                    kwargs = {}
+                    if self._has_dropblock:
+                        kwargs = dict(drop_prob=dp,
+                                      rngs={"dropblock": key})
+                    if self._has_batch_stats:
+                        variables["batch_stats"] = state.batch_stats
+                        seg, upd = model.apply(
+                            variables, x, train=True,
+                            mutable=["batch_stats"], **kwargs
+                        )
+                        fwd.new_stats = upd["batch_stats"]
+                        return seg
+                    return model.apply(variables, x, **kwargs)
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                fwd.new_stats = None
+                seg, gt2, mask2 = self.policy.train_io(fwd, im, gt, mask, size)
+                return masked_rescaled_bce(seg, gt2, mask2), fwd.new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
             new_state = state.apply_gradients(grads, lr)
+            if new_stats is not None:
+                new_state = new_state.replace(batch_stats=new_stats)
             return new_state, loss
 
-        def eval_step(params, im, gt, mask):
-            seg, gt2, mask2 = self.policy.val_io(lambda x: forward_eval(params, x), im, gt, mask)
+        def eval_step(params, batch_stats, im, gt, mask):
+            seg, gt2, mask2 = self.policy.val_io(
+                lambda x: forward_eval(params, batch_stats, x), im, gt, mask
+            )
             return masked_rescaled_bce(seg, gt2, mask2)
 
-        def predict_step(params, im, gt, mask):
-            return self.policy.predict_io(lambda x: forward_eval(params, x), im, gt, mask)
+        def predict_step(params, batch_stats, im, gt, mask):
+            return self.policy.predict_io(
+                lambda x: forward_eval(params, batch_stats, x), im, gt, mask
+            )
 
         def train_step_indexed(state: TrainState, ims, gts, masks, oi,
                                lr, base_key, size: int):
@@ -159,10 +182,10 @@ class Trainer:
                 out_shardings=(rep, rep),
             )
             self._eval_step = jax.jit(
-                eval_step, in_shardings=(rep, dp, dp, dp), out_shardings=rep
+                eval_step, in_shardings=(rep, rep, dp, dp, dp), out_shardings=rep
             )
             self._predict_step = jax.jit(
-                predict_step, in_shardings=(rep, dp, dp, dp), out_shardings=dp
+                predict_step, in_shardings=(rep, rep, dp, dp, dp), out_shardings=dp
             )
         else:
             self._train_step = jax.jit(train_step, static_argnames=("size",))
@@ -175,14 +198,24 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_params(self, init_channels: Optional[int] = None, seed: int = 0):
+        """Bare param tree for GroupNorm/no-norm models; for norm='batch'
+        the full variables bundle ({'params', 'batch_stats'}) — every
+        downstream surface (create_state, engines, checkpoints) accepts
+        either via models.unet.as_variables."""
         c = init_channels or self.model.cfg.init_channels
         dummy = jnp.zeros((1, 32, 32, c), jnp.float32)
         variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        if self._has_batch_stats:
+            return dict(variables)
         return variables["params"]
 
     def create_state(self, params, lr: Optional[float] = None) -> TrainState:
+        from unet_research_tpu.models.unet import split_variables
+
+        p, bs = split_variables(params)
         return create_train_state(
-            params, lr or self.cfg.lr, self.cfg.momentum, self.cfg.clip_norm
+            p, lr or self.cfg.lr, self.cfg.momentum, self.cfg.clip_norm,
+            batch_stats=bs,
         )
 
     # ------------------------------------------------------------------
@@ -217,14 +250,18 @@ class Trainer:
         if resume_from is not None:
             from unet_research_tpu.train.checkpoint import load_checkpoint
 
+            from unet_research_tpu.models.unet import split_variables
+
             template = self.init_params(seed=seed)
             tpl_state = self.create_state(template)
             r_params, resume_meta, r_opt = load_checkpoint(
                 resume_from, template, tpl_state.opt_state
             )
             lr = float(resume_meta.get("lr", cfg.lr))
+            r_p, r_bs = split_variables(r_params)
             resume_state = tpl_state.replace(
-                params=r_params,
+                params=r_p,
+                batch_stats=r_bs,
                 opt_state=r_opt if r_opt is not None else tpl_state.opt_state,
                 step=jnp.asarray(int(resume_meta.get("step", 0)), jnp.int32),
             )
@@ -329,14 +366,20 @@ class Trainer:
 
             if (epoch + 1) % cfg.check_val_every_n_epoch == 0:
                 val_losses = [
-                    self._eval_step(state.params, im, gt, mask)
+                    self._eval_step(state.params, state.batch_stats, im, gt, mask)
                     for im, gt, mask in batch_iterator(val_ds, cfg.val_batch, False)
                 ]
                 val_loss = float(np.mean(jax.device_get(val_losses)))
                 history["val_loss_epoch"].append(val_loss)
 
+                ckpt_params = state.params
+                if self._has_batch_stats:
+                    # the variables bundle: eval surfaces restore running
+                    # stats alongside the weights
+                    ckpt_params = {"params": state.params,
+                                   "batch_stats": state.batch_stats}
                 keeper.update(
-                    epoch, val_loss, state.params,
+                    epoch, val_loss, ckpt_params,
                     meta={**(ckpt_meta or {}), "lr": lr, "step": int(state.step)},
                     opt_state=state.opt_state,
                 )
@@ -365,8 +408,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def validate(self, params, val_ds: ArrayDataset) -> float:
+        from unet_research_tpu.models.unet import split_variables
+
+        p, bs = split_variables(params)
         losses = [
-            self._eval_step(params, im, gt, mask)
+            self._eval_step(p, bs, im, gt, mask)
             for im, gt, mask in batch_iterator(val_ds, 1, False)
         ]
         return float(np.mean(jax.device_get(losses)))
@@ -374,9 +420,12 @@ class Trainer:
     def predict(self, params, ds: ArrayDataset):
         """Batch-1 predictions like trainer.predict over a re-wrapped loader
         (utils_metrics.py:52-56,87-90). Yields (idx, seg, im, gt, mask) as
-        numpy NHWC."""
+        numpy NHWC. `params` may be a bare tree or a variables bundle."""
+        from unet_research_tpu.models.unet import split_variables
+
+        p, bs = split_variables(params)
         for i, (im, gt, mask) in enumerate(batch_iterator(ds, 1, False)):
-            seg, im2, gt2, mask2 = self._predict_step(params, im, gt, mask)
+            seg, im2, gt2, mask2 = self._predict_step(p, bs, im, gt, mask)
             yield i, *jax.device_get((seg, im2, gt2, mask2))
 
 

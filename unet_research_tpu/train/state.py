@@ -24,6 +24,9 @@ class TrainState(struct.PyTreeNode):
     params: FrozenDict
     opt_state: optax.OptState
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # non-trainable collections (BatchNorm running stats); None for the
+    # GroupNorm/no-norm models every reference entry point builds
+    batch_stats: Optional[FrozenDict] = None
 
     def apply_gradients(self, grads, lr):
         opt_state = set_lr(self.opt_state, lr)
@@ -61,6 +64,7 @@ def create_train_state(
     lr: float,
     momentum: float = 0.99,
     clip_norm: Optional[float] = None,
+    batch_stats=None,
 ) -> TrainState:
     import jax.numpy as jnp
 
@@ -70,4 +74,5 @@ def create_train_state(
         params=params,
         opt_state=tx.init(params),
         tx=tx,
+        batch_stats=batch_stats,
     )

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from unet_research_tpu.models.unet import UNet
 from unet_research_tpu.ops.image import resize_bilinear, square_pad
 from unet_research_tpu.uncertainty.ensemble import streaming_ensemble_batched
+from unet_research_tpu.models.unet import as_variables
 
 
 class MCDropBlockEngine:
@@ -71,7 +72,8 @@ class MCDropBlockEngine:
                         xb, NamedSharding(self.mesh, P("data"))
                     )
                 seg = model.apply(
-                    {"params": params}, xb, drop_prob=drop_prob, rngs={"dropblock": k}
+                    as_variables(params), xb,
+                    drop_prob=drop_prob, rngs={"dropblock": k}
                 )
                 return seg * mask  # (size, H, W, 1)
 

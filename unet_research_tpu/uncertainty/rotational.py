@@ -32,6 +32,7 @@ from unet_research_tpu.models.unet import UNet
 from unet_research_tpu.ops.image import resize_bilinear, rotate_bilinear, square_pad
 from unet_research_tpu.ops.pallas.shear_rotate import rotate_fan
 from unet_research_tpu.uncertainty.ensemble import streaming_ensemble
+from unet_research_tpu.models.unet import as_variables
 
 
 class RotationalEngine:
@@ -73,7 +74,7 @@ class RotationalEngine:
                     # one real device batch per chunk: warp the fan, run the
                     # batched forward, un-warp the fan
                     rot = rotate_fan(im, angle_chunk, interpret=interpret)
-                    segs = model.apply({"params": params}, rot)
+                    segs = model.apply(as_variables(params), rot)
                     segs = rotate_fan(segs, -angle_chunk, interpret=interpret)
                     return segs * mask
 
@@ -85,7 +86,7 @@ class RotationalEngine:
 
                 def sample(angle):
                     rot = rotate_bilinear(im, angle)
-                    seg = model.apply({"params": params}, rot)
+                    seg = model.apply(as_variables(params), rot)
                     seg = rotate_bilinear(seg, -angle)
                     return (seg * mask)[0]
 

@@ -55,7 +55,17 @@ def _convt_w(w) -> np.ndarray:
 
 
 def torch_state_dict_to_params(state_dict: Mapping[str, Any], cfg) -> dict:
-    """Convert a reference-UNet torch state dict to our Flax param tree.
+    """Convert a reference-UNet torch state dict to our Flax param tree
+    (GroupNorm/no-norm models — for BatchNorm models use
+    torch_state_dict_to_variables, which also carries the running stats)."""
+    return torch_state_dict_to_variables(state_dict, cfg)["params"]
+
+
+def torch_state_dict_to_variables(state_dict: Mapping[str, Any], cfg) -> dict:
+    """Convert a reference-UNet torch state dict to a Flax variables dict:
+    {'params': ...} plus, when the reference model used BatchNorm (its
+    set_normalization accepts any norm class, utils_unet.py:136-153),
+    {'batch_stats': ...} holding running_mean/running_var as mean/var.
 
     cfg: UNetConfig (for model_depth / conv_layers_per_block / pool & up
     modes). Values may be torch tensors or numpy arrays.
@@ -66,9 +76,10 @@ def torch_state_dict_to_params(state_dict: Mapping[str, Any], cfg) -> dict:
         sd[_normalize_key(k)] = arr
 
     params: dict = {}
+    bstats: dict = {}
 
-    def put(path: str, leaf: str, value):
-        node = params
+    def put(path: str, leaf: str, value, tree=None):
+        node = params if tree is None else tree
         for part in path.split("/"):
             node = node.setdefault(part, {})
         node[leaf] = value
@@ -89,6 +100,10 @@ def torch_state_dict_to_params(state_dict: Mapping[str, Any], cfg) -> dict:
             return False  # Identity norm
         put(dst, "scale", np.asarray(w))
         put(dst, "bias", np.asarray(sd[f"{src}.bias"]))
+        rm = sd.get(f"{src}.running_mean")
+        if rm is not None:  # BatchNorm2d: running stats -> 'batch_stats'
+            put(dst, "mean", np.asarray(rm), tree=bstats)
+            put(dst, "var", np.asarray(sd[f"{src}.running_var"]), tree=bstats)
         return True
 
     n_convs = cfg.conv_layers_per_block
@@ -116,16 +131,25 @@ def torch_state_dict_to_params(state_dict: Mapping[str, Any], cfg) -> dict:
             norm_slot(f"up_blocks.{d}.1.{4 * i + 1}", f"post{d}/norm{i}")
 
     conv_slot("output_conv.0", "head")
-    return params
+    out = {"params": params}
+    if bstats:
+        out["batch_stats"] = bstats
+    return out
 
 
 def load_torch_checkpoint(path: str, cfg) -> dict:
-    """Load a PL .ckpt (or raw torch state dict) and convert."""
+    """Load a PL .ckpt (or raw torch state dict) and convert (params tree;
+    use load_torch_checkpoint_variables for BatchNorm models)."""
+    return load_torch_checkpoint_variables(path, cfg)["params"]
+
+
+def load_torch_checkpoint_variables(path: str, cfg) -> dict:
+    """Load a PL .ckpt (or raw torch state dict) and convert to variables."""
     import torch
 
     payload = torch.load(path, map_location="cpu", weights_only=False)
     sd = payload.get("state_dict", payload) if isinstance(payload, dict) else payload
-    return torch_state_dict_to_params(sd, cfg)
+    return torch_state_dict_to_variables(sd, cfg)
 
 
 def assert_params_match(template, converted) -> None:
