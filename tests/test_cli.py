@@ -200,3 +200,38 @@ def test_run_matrix_all_to_density(aug_data, tmp_path, capsys):
     outp = capsys.readouterr().out
     assert outp.count("skip") >= 4
     assert not exists(bm + "0") and not exists(join(bm, "dropblock_uncertainty0"))
+
+
+def test_build_unet_plugin_flags():
+    """The new arch flags (-norm/-activation/-conv_impl/-mask_impl) reach the
+    model config; defaults stay reference behavior (CLAUDE.md invariant)."""
+    import argparse
+
+    from unet_research_tpu.cli.common import (
+        add_arch_args,
+        add_common_train_args,
+        add_trainer_args,
+        build_unet,
+        parse_with_passthrough,
+    )
+
+    p = argparse.ArgumentParser()
+    add_common_train_args(p)
+    add_arch_args(p)
+    add_trainer_args(p)
+    base = ["-mode", "train", "-data_path", "x", "-save_path", "y",
+            "-filters", "8", "-model_depth", "2"]
+    args = parse_with_passthrough(
+        p, base + ["-norm", "batch", "-activation", "elu",
+                   "-conv_impl", "pair", "-mask_impl", "elementwise"])
+    m = build_unet(args, "dependent", use_scheduler=False)
+    assert m.cfg.norm == "batch" and m.cfg.activation == "elu"
+    assert m.cfg.conv_impl == "pair"
+    assert m.cfg.dropblock.mask_impl == "elementwise"
+
+    dflt = build_unet(parse_with_passthrough(p, base), "dependent", True)
+    assert dflt.cfg.norm == "group" and dflt.cfg.activation == "relu"
+    assert dflt.cfg.conv_impl == "xla" and dflt.cfg.dropblock.mask_impl is None
+
+    none = parse_with_passthrough(p, base + ["-norm", "none"])
+    assert build_unet(none, None, False).cfg.norm is None

@@ -51,6 +51,26 @@ def add_arch_args(parser: argparse.ArgumentParser) -> None:
         help="rematerialize block activations in training (the reference "
         "always checkpoints via fairscale; 'false' trades memory for speed)",
     )
+    parser.add_argument(
+        "-norm", dest="norm", type=str, default="group",
+        help="normalization plug-in: group | batch | none (the reference "
+        "builder's set_normalization contract, utils_unet.py:136-153)",
+    )
+    parser.add_argument(
+        "-activation", dest="activation", type=str, default="relu",
+        help="activation plug-in: relu | leaky_relu | elu | gelu | silu | "
+        "tanh | sigmoid | none (set_activation_function, utils_unet.py:155)",
+    )
+    parser.add_argument(
+        "-conv_impl", dest="conv_impl", type=str, default="xla",
+        help="3x3-conv lowering: xla | pair (pair-view Pallas GEMM for the "
+        "C_out<=64 top level; ops/pallas/pair_conv.py)",
+    )
+    parser.add_argument(
+        "-mask_impl", dest="mask_impl", type=str, default=None,
+        help="dropblock mask pipeline: elementwise | kernel | fused "
+        "(ops/dropblock.py; default follows UNET_DB_IMPL)",
+    )
 
 
 def add_trainer_args(parser: argparse.ArgumentParser) -> None:
@@ -99,7 +119,9 @@ def build_unet(
         start_drop_prob=0.0,
         max_drop_prob=args.max_drop_prob,
         nr_steps=args.dropblock_steps,
+        mask_impl=getattr(args, "mask_impl", None) or None,
     )
+    norm = getattr(args, "norm", "group")
     cfg = canonical_config(
         dropblock=db,
         remat=remat,
@@ -107,6 +129,9 @@ def build_unet(
         filters=getattr(args, "filters", 64),
         model_depth=getattr(args, "model_depth", 4),
         group_norm_groups=getattr(args, "group_norm_groups", 32),
+        norm=None if norm in ("none", "None") else norm,
+        activation=getattr(args, "activation", "relu"),
+        conv_impl=getattr(args, "conv_impl", "xla"),
     )
     return UNet(cfg)
 
