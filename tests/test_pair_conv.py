@@ -27,7 +27,11 @@ def _ref_conv(x, k):
 
 
 @pytest.mark.parametrize("shape,f", [((2, 16, 12, 5), 4), ((1, 24, 20, 8), 8),
-                                     ((2, 8, 6, 3), 2)])
+                                     ((2, 8, 6, 3), 2),
+                                     # the C=1 stem shape (zero-padded C path)
+                                     ((1, 20, 16, 1), 8),
+                                     # ragged H: no %8 divisor, adaptive tile
+                                     ((1, 22, 12, 8), 4)])
 def test_matches_lax_conv_interpret(rng, shape, f):
     x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     k = jnp.asarray(0.1 * rng.standard_normal((3, 3, shape[-1], f)).astype(np.float32))
@@ -60,9 +64,21 @@ def test_pack_weights_block_structure(rng):
 def test_supported_predicate():
     assert pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "SAME", False)
     assert not pair_conv_supported((1, 48, 41, 64), 3, 3, (1, 1), "SAME", False)
-    assert not pair_conv_supported((1, 44, 40, 64), 3, 3, (1, 1), "SAME", False)
+    # ragged H (44 % 8 != 0): supported via the adaptive row tile
+    assert pair_conv_supported((1, 44, 40, 64), 3, 3, (1, 1), "SAME", False)
+    assert not pair_conv_supported((1, 45, 40, 64), 3, 3, (1, 1), "SAME", False)
     assert not pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "VALID", False)
     assert not pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "SAME", True)
+
+
+def test_pick_row_tile():
+    from unet_research_tpu.ops.pallas.pair_conv import _pick_row_tile
+
+    assert _pick_row_tile(592, 8) == 8
+    assert _pick_row_tile(74, 8) == 2
+    assert _pick_row_tile(20, 8) == 5
+    assert _pick_row_tile(22, 8) == 2
+    assert _pick_row_tile(6, 8) == 6
 
 
 @pytest.mark.parametrize("stats", [False, True])

@@ -463,9 +463,10 @@ class _Layers(nn.Module):
             and cfg.same_padding
             and cfg.norm is not None  # bias-free under norm
             and 2 * features <= 128
-            and x.shape[-1] % 8 == 0  # C=1 stem conv: K=2 GEMM, lane-1 layout
+            # C=1 stem rides too (the kernel zero-pads C to a sublane
+            # multiple); H only needs an even divisor — the row tile adapts
             and x.shape[-2] % 2 == 0
-            and x.shape[-3] % 8 == 0
+            and x.shape[-3] % 2 == 0
         ):
             from unet_research_tpu.ops.pallas import pair_conv as _pc
 

@@ -73,8 +73,18 @@ def pair_conv_supported(x_shape, kh: int, kw: int, strides, padding,
         and padding == "SAME"
         and not use_bias
         and w % 2 == 0
-        and h % ht == 0
+        and h % 2 == 0  # row tile adapts down from `ht` to any even divisor
     )
+
+
+def _pick_row_tile(h: int, ht_max: int) -> int:
+    """Largest row-tile <= ht_max dividing h. The canonical autopadded
+    resolutions are all % 8; shallow/tiny configs (e.g. depth-2 test models)
+    can leave H % 8 != 0 and simply take a shorter tile."""
+    for d in range(min(ht_max, h), 0, -1):
+        if h % d == 0:
+            return d
+    return 1
 
 
 def _pack_weights(kernel: jax.Array, dtype) -> jax.Array:
@@ -204,8 +214,18 @@ def _conv3x3_pair_impl(x, kernel, stats: bool, ht: int, interpret: bool):
     kh, kw, kc, f = kernel.shape
     if (kh, kw) != (3, 3) or kc != c:
         raise ValueError(f"conv3x3_pair: kernel {kernel.shape} vs input C={c}")
-    if w % 2 or h % ht:
-        raise ValueError(f"conv3x3_pair needs even W and H % {ht} == 0")
+    if w % 2:
+        raise ValueError("conv3x3_pair needs even W")
+    # C=1 stem (and any C % 8 != 0): zero-pad the contraction channels to a
+    # sublane-aligned width. The padded columns multiply zero weights, so the
+    # output is exactly the original conv; the extra read traffic at the stem
+    # is ~8x of a 1-channel image — noise against the 64-channel write.
+    cpad = -c % 8
+    if cpad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cpad), (0, 0)))
+        c += cpad
+    ht = _pick_row_tile(h, ht)
     nt = h // ht
     wp = _pack_weights(kernel, x.dtype)
 
@@ -276,7 +296,11 @@ def _dx_conv(g, kernel, ht: int, interpret: bool):
     shape is eligible (it is, for every site the forward was)."""
     kt = _rot_transpose(kernel).astype(g.dtype)
     n, h, w, f = g.shape
-    if w % 2 == 0 and h % ht == 0 and 2 * kt.shape[-1] <= 128 and f % 8 == 0:
+    # kt.shape[-1] % 8: a narrow dx (e.g. the C=1 stem's input gradient,
+    # normally dead code) would fill only 2 of 128 output lanes — leave it
+    # to XLA rather than the pair view.
+    if w % 2 == 0 and h % 2 == 0 and 2 * kt.shape[-1] <= 128 \
+            and kt.shape[-1] % 8 == 0:
         return _conv3x3_pair_impl(g, kt, stats=False, ht=ht,
                                   interpret=interpret)
     return _xla_conv3x3_same(g, kt)
