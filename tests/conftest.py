@@ -21,6 +21,11 @@ if os.environ.get("UNET_TPU_TESTS", "0") != "1":
     )
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+    # Persistent XLA compile cache: the suite is compile-dominated and most
+    # programs are identical across runs — reruns during development drop
+    # from ~8 min to the execution floor. Cold (CI) runs are unaffected.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -28,7 +28,10 @@ def make_model(cfg, h=64, w=64):
 
 def test_canonical_param_count():
     cfg = canonical_config()
-    model, variables = make_model(cfg, 32, 32)
+    model = UNet(cfg)
+    # eval_shape: the count needs shapes only, not a real 31M-param init
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, cfg.init_channels)))
     n = param_count(variables["params"])
     # the classic 31M-param U-Net (encoder 64..512, bottleneck 1024); the
     # reference's GroupNorm setup disables conv biases everywhere.

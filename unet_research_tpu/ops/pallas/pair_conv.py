@@ -241,7 +241,7 @@ def _conv3x3_pair_impl(x, kernel, stats: bool, ht: int, interpret: bool):
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights, whole
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, ht, w, f), lambda i, j: (i, j, 0, 0),
