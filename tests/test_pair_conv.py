@@ -126,8 +126,8 @@ def test_model_train_grads_pair_vs_xla_interpret(rng, monkeypatch):
     cfg = canonical_config(filters=8, model_depth=2, group_norm_groups=4,
                            dtype=jnp.float32, conv_impl="pair", remat=True)
     cfg_x = dc.replace(cfg, conv_impl="xla")
-    x = jnp.asarray(rng.random((1, 16, 8, 1), np.float32))
-    gt = jnp.asarray((rng.random((1, 16, 8, 1)) > 0.5).astype(np.float32))
+    x = jnp.asarray(rng.random((1, 8, 8, 1), np.float32))
+    gt = jnp.asarray((rng.random((1, 8, 8, 1)) > 0.5).astype(np.float32))
     fov = jnp.ones_like(gt)
     params = UNet(cfg_x).init(jax.random.PRNGKey(0), x)["params"]
 
@@ -162,7 +162,7 @@ def test_model_path_pair_conv_interpret(rng, monkeypatch):
     cfg = canonical_config(filters=8, model_depth=2, group_norm_groups=4,
                            dtype=jnp.float32, conv_impl="pair")
     cfg_x = dataclasses.replace(cfg, conv_impl="xla")
-    x = jnp.asarray(rng.random((1, 24, 16, 1), np.float32))
+    x = jnp.asarray(rng.random((1, 16, 8, 1), np.float32))
     params = UNet(cfg_x).init(jax.random.PRNGKey(0), x)
     yp = np.asarray(UNet(cfg).apply(params, x))
     yx = np.asarray(UNet(cfg_x).apply(params, x))

@@ -45,9 +45,9 @@ def test_forward_odd_size_autopad():
     cfg = canonical_config(filters=8)
     cfg = UNetConfig(**{**cfg.__dict__, "group_norm_groups": 4})
     model, variables = make_model(cfg, 64, 64)
-    x = jnp.ones((1, 117, 92, 1)) * 0.5
+    x = jnp.ones((1, 61, 44, 1)) * 0.5
     out = model.apply(variables, x)
-    assert out.shape == (1, 117, 92, 1)
+    assert out.shape == (1, 61, 44, 1)
     out = np.asarray(out)
     assert np.isfinite(out).all()
     assert out.min() >= 0.0 and out.max() <= 1.0

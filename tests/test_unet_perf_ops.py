@@ -74,7 +74,7 @@ def test_fold_rescale_matches_inline(rng, kind, connection):
         fold_rescale=True,
     )
     cfg_inline = dataclasses.replace(cfg, fold_rescale=False)
-    x = jnp.asarray(rng.random((1, 24, 20, 1), dtype=np.float32))
+    x = jnp.asarray(rng.random((1, 16, 12, 1), dtype=np.float32))
     key = jax.random.PRNGKey(7)
     params = UNet(cfg).init(
         {"params": jax.random.PRNGKey(0), "dropblock": key}, x, drop_prob=0.15
@@ -100,10 +100,10 @@ def test_fold_rescale_batched_shapes(rng):
         filters=8, model_depth=2, group_norm_groups=4,
         dropblock=DropBlockConfig(kind="independent", block_size=3, drop_prob=0.15),
     )
-    x = jnp.asarray(rng.random((3, 24, 20, 1), dtype=np.float32))
+    x = jnp.asarray(rng.random((2, 16, 12, 1), dtype=np.float32))
     out = UNet(cfg).apply(
         UNet(cfg).init({"params": jax.random.PRNGKey(0), "dropblock": jax.random.PRNGKey(1)}, x, drop_prob=0.1),
         x, drop_prob=0.1, rngs={"dropblock": jax.random.PRNGKey(2)},
     )
-    assert out.shape == (3, 24, 20, 1)
+    assert out.shape == (2, 16, 12, 1)
     assert np.isfinite(np.asarray(out)).all()
