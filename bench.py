@@ -126,9 +126,19 @@ def main():
     mask = jnp.ones_like(im)
     params = model.init(jax.random.PRNGKey(0), im)["params"]
 
+    # multi-chip: shard the MC chunk batch over a ('data','model') mesh —
+    # the ensemble scales over ICI with no code change (the engine holds the
+    # sharding constraint; XLA emits the collectives). Default 0 = the
+    # driver's single-chip headline.
+    n_dev = int(os.environ.get("BENCH_DEVICES", 0))
+    mesh = None
+    if n_dev > 1:
+        from unet_research_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=n_dev, model=1)
     engine = MCDropBlockEngine(
         model, num_iterations=num_iterations, return_num=0, chunk=chunk,
-        resize=resize if resize else -1,
+        resize=resize if resize else -1, mesh=mesh,
     )
 
     def sync(mean, std):
@@ -158,9 +168,10 @@ def main():
 
     best = min(times)
     passes_per_sec = num_iterations / best
-    metric = f"mc_dropblock_passes_per_sec_{h}x{w}_1chip"
+    chips = f"{n_dev}chip" if n_dev > 1 else "1chip"
+    metric = f"mc_dropblock_passes_per_sec_{h}x{w}_{chips}"
     if resize:
-        metric = f"mc_dropblock_passes_per_sec_resize{resize}_1chip"
+        metric = f"mc_dropblock_passes_per_sec_resize{resize}_{chips}"
     print(
         json.dumps(
             {

@@ -55,3 +55,19 @@ def test_bench_gives_up_after_bounded_attempts():
     out = _run_bench({"BENCH_SIM_INIT_FAIL": "5", "BENCH_ATTEMPTS": "2"})
     assert out.returncode != 0
     assert "attempt 2/2" in out.stderr
+
+
+def test_bench_devices_shards_over_mesh():
+    """BENCH_DEVICES=N runs the same workload over an N-device ('data',
+    'model') mesh (virtual CPU devices here) and tags the metric name."""
+    out = _run_bench({
+        "BENCH_DEVICES": "8",
+        "XLA_FLAGS": _TINY_ENV["XLA_FLAGS"]
+        + " --xla_force_host_platform_device_count=8",
+        "BENCH_CHUNK": "8",
+    })
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "mc_dropblock_passes_per_sec_48x40_8chip"
+    assert rec["value"] > 0
