@@ -43,6 +43,33 @@ def test_matches_lax_conv_interpret(rng, shape, f):
     np.testing.assert_allclose(np.asarray(s2), (r64 * r64).sum((1, 2)), rtol=1e-4)
 
 
+def test_valid_matches_lax_conv_interpret(rng):
+    """conv3x3_pair_valid (SAME kernel + interior crop) vs lax VALID conv,
+    values and gradients."""
+    from unet_research_tpu.ops.pallas.pair_conv import conv3x3_pair_valid
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 12, 5)).astype(np.float32))
+    k = jnp.asarray(0.1 * rng.standard_normal((3, 3, 5, 4)).astype(np.float32))
+
+    def ref(x, k):
+        return lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y = conv3x3_pair_valid(x, k, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref(x, k)),
+                               rtol=2e-5, atol=2e-5)
+    w = jnp.asarray(rng.standard_normal(y.shape).astype(np.float32))
+    dx_p, dk_p = jax.grad(
+        lambda x, k: jnp.sum(conv3x3_pair_valid(x, k, interpret=True) * w),
+        argnums=(0, 1))(x, k)
+    dx_r, dk_r = jax.grad(
+        lambda x, k: jnp.sum(ref(x, k) * w), argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk_p), np.asarray(dk_r),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_pack_weights_block_structure(rng):
     """Wu/Wv block layout: each output (q, co) column sees exactly the three
     taps K[dy, dx] of its parity, zeros elsewhere (the 75%-density GEMM)."""
@@ -67,7 +94,8 @@ def test_supported_predicate():
     # ragged H (44 % 8 != 0): supported via the adaptive row tile
     assert pair_conv_supported((1, 44, 40, 64), 3, 3, (1, 1), "SAME", False)
     assert not pair_conv_supported((1, 45, 40, 64), 3, 3, (1, 1), "SAME", False)
-    assert not pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "VALID", False)
+    # VALID rides the SAME kernel + interior crop
+    assert pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "VALID", False)
     assert not pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "SAME", True)
 
 
@@ -163,6 +191,25 @@ def test_model_path_pair_conv_interpret(rng, monkeypatch):
                            dtype=jnp.float32, conv_impl="pair")
     cfg_x = dataclasses.replace(cfg, conv_impl="xla")
     x = jnp.asarray(rng.random((1, 16, 8, 1), np.float32))
+    params = UNet(cfg_x).init(jax.random.PRNGKey(0), x)
+    yp = np.asarray(UNet(cfg).apply(params, x))
+    yx = np.asarray(UNet(cfg_x).apply(params, x))
+    np.testing.assert_allclose(yp, yx, rtol=2e-4, atol=2e-4)
+
+
+def test_model_path_pair_conv_valid_interpret(rng, monkeypatch):
+    """conv_impl='pair' through the same_padding=False (VALID + center-crop
+    skips) builder variant: even-dim sites ride the cropped pair kernel,
+    odd-dim sites fall back to XLA, outputs match the pure-XLA lowering."""
+    import unet_research_tpu.ops.pallas.pair_conv as pc
+    from unet_research_tpu.models.unet import UNet, canonical_config
+
+    monkeypatch.setattr(pc, "INTERPRET", True)
+    cfg = canonical_config(filters=8, model_depth=2, group_norm_groups=4,
+                           dtype=jnp.float32, conv_impl="pair",
+                           same_padding=False)
+    cfg_x = dataclasses.replace(cfg, conv_impl="xla")
+    x = jnp.asarray(rng.random((1, 40, 40, 1), np.float32))
     params = UNet(cfg_x).init(jax.random.PRNGKey(0), x)
     yp = np.asarray(UNet(cfg).apply(params, x))
     yx = np.asarray(UNet(cfg_x).apply(params, x))

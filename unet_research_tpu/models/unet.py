@@ -113,8 +113,8 @@ class UNetConfig:
     # kernel also emits the GroupNorm moment sums so no stat pass reads the
     # activation. Differentiable (custom VJP: dx rides the same pair kernel,
     # dK is one XLA correlation GEMM — ops/pallas/pair_conv.py), so training
-    # shares the MXU win. Ineligible sites (C_out > 64, VALID padding,
-    # ragged H) fall back to XLA.
+    # shares the MXU win. VALID padding rides the SAME kernel + interior
+    # crop; ineligible sites (C_out > 64, odd H/W) fall back to XLA.
     conv_impl: str = "xla"
     # Fold the DropBlock rescale through the network algebra (GroupNorm-gated).
     #
@@ -460,7 +460,6 @@ class _Layers(nn.Module):
         cfg = self.cfg
         if (
             cfg.conv_impl == "pair"
-            and cfg.same_padding
             and cfg.norm is not None  # bias-free under norm
             and 2 * features <= 128
             # C=1 stem rides too (the kernel zero-pads C to a sublane
@@ -475,9 +474,14 @@ class _Layers(nn.Module):
             except Exception:
                 on_tpu = False
             if on_tpu:
-                # the moment side outputs only pay off when GroupNorm
-                # consumes them downstream
-                return PairConv(features, stats=cfg.norm == "group",
+                if cfg.same_padding:
+                    # the moment side outputs only pay off when GroupNorm
+                    # consumes them downstream
+                    return PairConv(features, stats=cfg.norm == "group",
+                                    name=name)(x)
+                # VALID rides the SAME kernel + interior crop; no moment
+                # side outputs (they would include the cropped border ring)
+                return PairConv(features, stats=False, valid=True,
                                 name=name)(x)
         fan_in = x.shape[-1] * 9
         y = nn.Conv(
@@ -502,15 +506,21 @@ class PairConv(nn.Module):
 
     features: int
     stats: bool = True
+    valid: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        from unet_research_tpu.ops.pallas.pair_conv import conv3x3_pair
+        from unet_research_tpu.ops.pallas.pair_conv import (
+            conv3x3_pair,
+            conv3x3_pair_valid,
+        )
 
         ci = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init,
                             (3, 3, ci, self.features))
+        if self.valid:
+            return conv3x3_pair_valid(x, kernel.astype(x.dtype)), None
         if not self.stats:
             return conv3x3_pair(x, kernel.astype(x.dtype)), None
         y, s1, s2 = conv3x3_pair(x, kernel.astype(x.dtype), stats=True)

@@ -70,7 +70,8 @@ def pair_conv_supported(x_shape, kh: int, kw: int, strides, padding,
     return (
         (kh, kw) == (3, 3)
         and tuple(strides) == (1, 1)
-        and padding == "SAME"
+        # VALID rides the SAME kernel + interior crop (conv3x3_pair_valid)
+        and padding in ("SAME", "VALID")
         and not use_bias
         and w % 2 == 0
         and h % 2 == 0  # row tile adapts down from `ht` to any even divisor
@@ -207,6 +208,17 @@ def conv3x3_pair(x, kernel, *, stats: bool = False, ht: int = 8,
     if interpret is None:
         interpret = INTERPRET
     return _pair_vjp(x, kernel, stats, ht, bool(interpret))
+
+
+def conv3x3_pair_valid(x, kernel, *, ht: int = 8, interpret=None):
+    """VALID 3x3 conv via the SAME pair kernel: the interior of the SAME
+    output IS the VALID output (the zero-padded halo taps only reach the
+    border ring). Costs one extra output row/column pair of compute; no
+    moment side outputs (they would sum the border ring the VALID conv
+    never produces — GroupNorm reductions fuse in XLA downstream instead).
+    Differentiable: the slice is AD-transparent over conv3x3_pair's VJP."""
+    y = conv3x3_pair(x, kernel, stats=False, ht=ht, interpret=interpret)
+    return y[:, 1:-1, 1:-1, :]
 
 
 def _conv3x3_pair_impl(x, kernel, stats: bool, ht: int, interpret: bool):
