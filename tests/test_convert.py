@@ -109,3 +109,31 @@ def test_pl_prefix_stripping():
     model = UNet(cfg)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
     assert_params_match(template, converted)
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """python -m unet_research_tpu.utils.convert SRC DST: the written msgpack
+    checkpoint loads via train.checkpoint.load_checkpoint and matches the
+    in-process conversion."""
+    from unet_research_tpu.train.checkpoint import load_checkpoint
+    from unet_research_tpu.utils import convert as convert_mod
+
+    sd = {k: torch.from_numpy(v) for k, v in _synthetic_reference_state_dict().items()}
+    src = str(tmp_path / "ref.ckpt")
+    dst = str(tmp_path / "out.ckpt")
+    torch.save({"state_dict": sd}, src)
+
+    convert_mod.main([src, dst, "-filters", "8", "-model_depth", "2",
+                      "-group_norm_groups", "4"])
+
+    cfg = canonical_config(filters=8, model_depth=2, group_norm_groups=4)
+    template = UNet(cfg).init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    params, meta, _ = load_checkpoint(dst, params_template=template)
+    direct = torch_state_dict_to_params(
+        {k: v.numpy() for k, v in sd.items()}, cfg)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(direct)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert meta["converted_from"] == src

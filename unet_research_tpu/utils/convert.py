@@ -165,3 +165,50 @@ def assert_params_match(template, converted) -> None:
         cv = c_flat.get(k)
         if cv is not None and tuple(cv.shape) != tuple(v.shape):
             raise ValueError(f"shape mismatch at {k}: {cv.shape} vs {v.shape}")
+
+
+def main(argv=None):
+    """Convert a reference PL/torch .ckpt to this framework's msgpack format.
+
+    Usage:
+      python -m unet_research_tpu.utils.convert SRC.ckpt DST.ckpt \
+          [-filters 64] [-model_depth 4] [-group_norm_groups 32] \
+          [-norm group|batch|none] [-activation relu|...]
+
+    The arch flags must describe the reference model the checkpoint was
+    trained with (the reference hardcodes the canonical 31M config,
+    base_model_tests/training.py:171-192 — the defaults here). BatchNorm
+    checkpoints carry their running stats into the 'batch_stats' bundle the
+    eval surfaces restore."""
+    import argparse
+
+    from unet_research_tpu.models import DropBlockConfig, canonical_config
+    from unet_research_tpu.train.checkpoint import save_checkpoint
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("-filters", type=int, default=64)
+    p.add_argument("-model_depth", type=int, default=4)
+    p.add_argument("-group_norm_groups", type=int, default=32)
+    p.add_argument("-norm", default="group")
+    p.add_argument("-activation", default="relu")
+    a = p.parse_args(argv)
+    cfg = canonical_config(
+        filters=a.filters, model_depth=a.model_depth,
+        group_norm_groups=a.group_norm_groups,
+        norm=None if a.norm == "none" else a.norm, activation=a.activation,
+        dropblock=DropBlockConfig(kind="dependent"),
+    )
+    import jax
+
+    variables = load_torch_checkpoint_variables(a.src, cfg)
+    payload = variables if "batch_stats" in variables else variables["params"]
+    save_checkpoint(a.dst, payload, meta={"converted_from": a.src})
+    n = sum(int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"converted {a.src} -> {a.dst} ({n:,} params)")
+
+
+if __name__ == "__main__":
+    main()
