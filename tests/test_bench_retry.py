@@ -57,6 +57,19 @@ def test_bench_gives_up_after_bounded_attempts():
     assert "attempt 2/2" in out.stderr
 
 
+def test_bench_falls_back_when_preferred_pipelines_fail():
+    """A Mosaic/compile failure of the preferred (pair, fused) pipelines must
+    degrade to the (xla, elementwise) fallback and still print the one JSON
+    line — the scored artifact is a number, not an rc=1."""
+    out = _run_bench({"BENCH_SIM_MEASURE_FAIL": "1"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "falling back" in out.stderr
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["value"] > 0
+
+
 def test_bench_devices_shards_over_mesh():
     """BENCH_DEVICES=N runs the same workload over an N-device ('data',
     'model') mesh (virtual CPU devices here) and tags the metric name."""
