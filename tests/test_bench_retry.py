@@ -17,6 +17,10 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 _TINY_ENV = {
     "JAX_PLATFORMS": "cpu",
     "XLA_FLAGS": "--xla_backend_optimization_level=0",
+    # the four subprocesses compile near-identical tiny programs; share one
+    # persistent cache so only the first pays the compile
+    "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache_bench",
+    "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.1",
     "BENCH_RETRY_SLEEP": "0",
     "BENCH_ITERS": "2",
     "BENCH_CHUNK": "2",

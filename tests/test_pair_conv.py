@@ -166,8 +166,10 @@ def test_model_train_grads_pair_vs_xla_interpret(rng, monkeypatch):
         )
         return masked_rescaled_bce(pred, gt, fov)
 
-    gp = jax.grad(loss)(params, cfg)
-    gx = jax.grad(loss)(params, cfg_x)
+    # jit the whole grad: one trace of the interpret-mode kernels instead of
+    # per-primitive eager dispatch (~2x faster on the CPU suite)
+    gp = jax.jit(lambda p: jax.grad(loss)(p, cfg))(params)
+    gx = jax.jit(lambda p: jax.grad(loss)(p, cfg_x))(params)
     flat_p = jax.tree_util.tree_leaves_with_path(gp)
     flat_x = {jax.tree_util.keystr(k): v
               for k, v in jax.tree_util.tree_leaves_with_path(gx)}
@@ -192,8 +194,8 @@ def test_model_path_pair_conv_interpret(rng, monkeypatch):
     cfg_x = dataclasses.replace(cfg, conv_impl="xla")
     x = jnp.asarray(rng.random((1, 16, 8, 1), np.float32))
     params = UNet(cfg_x).init(jax.random.PRNGKey(0), x)
-    yp = np.asarray(UNet(cfg).apply(params, x))
-    yx = np.asarray(UNet(cfg_x).apply(params, x))
+    yp = np.asarray(jax.jit(UNet(cfg).apply)(params, x))
+    yx = np.asarray(jax.jit(UNet(cfg_x).apply)(params, x))
     np.testing.assert_allclose(yp, yx, rtol=2e-4, atol=2e-4)
 
 
@@ -211,8 +213,8 @@ def test_model_path_pair_conv_valid_interpret(rng, monkeypatch):
     cfg_x = dataclasses.replace(cfg, conv_impl="xla")
     x = jnp.asarray(rng.random((1, 40, 40, 1), np.float32))
     params = UNet(cfg_x).init(jax.random.PRNGKey(0), x)
-    yp = np.asarray(UNet(cfg).apply(params, x))
-    yx = np.asarray(UNet(cfg_x).apply(params, x))
+    yp = np.asarray(jax.jit(UNet(cfg).apply)(params, x))
+    yx = np.asarray(jax.jit(UNet(cfg_x).apply)(params, x))
     np.testing.assert_allclose(yp, yx, rtol=2e-4, atol=2e-4)
 
 
