@@ -65,9 +65,14 @@ def pallas_dropblock_supported(block_size: int) -> bool:
 def _pick_ht(h: int, w: int, c: int, budget: int = 14 * 2**20) -> int:
     """Rows per output tile against XLA's 16M *scoped* vmem limit for custom
     calls (a 48M budget OOMed at compile on the (N,74,72,1024) skip sites).
-    ~20 bytes/element: s8 mask double-buffered + the broadcast int32 bit
-    plane + select temps (measured 18.2B/elem at (16,74,72,512))."""
-    per_row = max(1, w * c * 20)
+    Mosaic's stack cost is per *lane-padded* element — C pads up to the
+    128-lane register width — so C=64 sites cost 2x their logical bytes and
+    C=1 sites 128x (measured: 18.2 B/padded-elem at (16,74,72,512) where
+    C=512 needs no padding; 15.5 B at (16,592,576,64) where it doubles —
+    the unpadded-C formula OOMed the top sites at 18.27M vs the 16M limit).
+    Budget with 20 B/padded-element."""
+    c_padded = -(-c // 128) * 128
+    per_row = max(1, w * c_padded * 20)
     rows = min(h, max(1, budget // per_row))
     return max(_STRIP, (rows // _STRIP) * _STRIP)
 

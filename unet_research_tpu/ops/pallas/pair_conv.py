@@ -111,12 +111,30 @@ def _pack_weights(kernel: jax.Array, dtype) -> jax.Array:
     return jnp.stack([wu, wv])
 
 
-def _shift_j(a, d: int):
-    """Shift along the pair axis (axis 1) by d with zero fill."""
-    z = jnp.zeros_like(a[:, :1])
-    if d == 1:  # out[j] = a[j-1]
-        return jnp.concatenate([z, a[:, :-1]], axis=1)
-    return jnp.concatenate([a[:, 1:], z], axis=1)  # out[j] = a[j+1]
+def _half_shifted_views(A, C: int):
+    """Build the two half-shifted pair views u, v from the pair-view tile
+    A (rows, Wp, 2C) WITHOUT any vector reshape (Mosaic rejects the
+    (W, C) <-> (W/2, 2C) shape cast: 'infer-vector-layout: unsupported
+    shape cast', measured on v5e). In the flattened per-row lane stream
+    p = w*C + c, u = stream shifted by -C and v by +C, which decomposes
+    into ONE intra-word half-swap (a lane roll by C — by construction
+    self-inverse) plus a word shift along Wp for the half that crossed a
+    word boundary, blended by a lane select:
+
+        r    = roll(A, C, lanes)        # word j -> (hi_j, lo_j)
+        u[j] = (hi_{j-1}, lo_j)   = where(lane < C, r[j-1], r[j])
+        v[j] = (hi_j, lo_{j+1})   = where(lane < C, r[j], r[j+1])
+
+    The zero fill of the word shifts IS the SAME-padding halo at the canvas
+    edges (x[-1] = x[W] = 0)."""
+    r = pltpu.roll(A, C, axis=2)
+    z = jnp.zeros_like(r[:, :1])
+    rdn = jnp.concatenate([z, r[:, :-1]], axis=1)  # r[j-1]
+    rup = jnp.concatenate([r[:, 1:], z], axis=1)   # r[j+1]
+    lane = lax.broadcasted_iota(jnp.int32, r.shape, 2)
+    u = jnp.where(lane < C, rdn, r)  # input cols (2j-1, 2j)
+    v = jnp.where(lane < C, r, rup)  # input cols (2j+1, 2j+2)
+    return u, v
 
 
 def _issue_tile_dma(x_ref, xt, sems, n, ht, slot, *, Ht, nt, wait: bool):
@@ -146,7 +164,7 @@ def _issue_tile_dma(x_ref, xt, sems, n, ht, slot, *, Ht, nt, wait: bool):
 
 
 def _conv_kernel(wp_ref, x_ref, out_ref, s1_ref, s2_ref, xt_ref, sems,
-                 *, Ht, W, C, F, N, nt, stats, out_dtype):
+                 *, Ht, Wp, C, F, N, nt, stats, out_dtype):
     n, ht = pl.program_id(0), pl.program_id(1)
     step = n * nt + ht
     slot = lax.rem(step, 2)
@@ -177,12 +195,8 @@ def _conv_kernel(wp_ref, x_ref, out_ref, s1_ref, s2_ref, xt_ref, sems,
         xt_ref[slot, Ht + 1 : Ht + 2] = jnp.zeros_like(
             xt_ref[slot, Ht + 1 : Ht + 2])
 
-    xt = xt_ref[slot]  # (Ht+2, W, C)
-    pv = xt.reshape(Ht + 2, W // 2, 2 * C)
-    pv_lo, pv_hi = pv[:, :, :C], pv[:, :, C:]
-    u = jnp.concatenate([_shift_j(pv_hi, 1), pv_lo], axis=-1)   # cols 2j-1, 2j
-    v = jnp.concatenate([pv_hi, _shift_j(pv_lo, -1)], axis=-1)  # cols 2j+1, 2j+2
-    m = Ht * (W // 2)
+    u, v = _half_shifted_views(xt_ref[slot], C)  # each (Ht+2, Wp, 2C)
+    m = Ht * Wp
     acc = jnp.zeros((m, 2 * F), jnp.float32)
     dn = (((1,), (0,)), ((), ()))
     for dy in range(3):
@@ -191,11 +205,11 @@ def _conv_kernel(wp_ref, x_ref, out_ref, s1_ref, s2_ref, xt_ref, sems,
         acc += lax.dot_general(v[dy : dy + Ht].reshape(m, 2 * C), wp_ref[1, dy],
                                dn, preferred_element_type=jnp.float32)
     if stats:
-        s1 = jnp.sum(acc, axis=0).reshape(2, F)
-        s2 = jnp.sum(acc * acc, axis=0).reshape(2, F)
-        s1_ref[0, 0] = (s1[0] + s1[1]).reshape(1, F)
-        s2_ref[0, 0] = (s2[0] + s2[1]).reshape(1, F)
-    out_ref[0] = acc.astype(out_dtype).reshape(Ht, W, F)
+        # pair-view (2F,) sums; the caller folds the two F-halves in XLA
+        # (splitting to (2, F) here is another unsupported vector reshape)
+        s1_ref[0, 0] = jnp.sum(acc, axis=0).reshape(1, 2 * F)
+        s2_ref[0, 0] = jnp.sum(acc * acc, axis=0).reshape(1, 2 * F)
+    out_ref[0] = acc.astype(out_dtype).reshape(Ht, Wp, 2 * F)
 
 
 def conv3x3_pair(x, kernel, *, stats: bool = False, ht: int = 8,
@@ -240,13 +254,20 @@ def _conv3x3_pair_impl(x, kernel, stats: bool, ht: int, interpret: bool):
     ht = _pick_row_tile(h, ht)
     nt = h // ht
     wp = _pack_weights(kernel, x.dtype)
+    wpair = w // 2
+    # Pair-view fold OUTSIDE the kernel: in row-major NHWC this reshape is a
+    # pure HBM bitcast ((w, c) and (w//2, 2c) index the same linear bytes),
+    # so the kernel's DMA loads land already pair-folded and no in-VMEM
+    # vector shape cast is needed (Mosaic rejects that cast; see
+    # _half_shifted_views).
+    x_pv = x.reshape(n, h, wpair, 2 * c)
 
-    kfn = functools.partial(_conv_kernel, Ht=ht, W=w, C=c, F=f, N=n, nt=nt,
-                            stats=stats, out_dtype=x.dtype)
+    kfn = functools.partial(_conv_kernel, Ht=ht, Wp=wpair, C=c, F=f, N=n,
+                            nt=nt, stats=stats, out_dtype=x.dtype)
     out_shape = [
-        jax.ShapeDtypeStruct((n, h, w, f), x.dtype),
-        jax.ShapeDtypeStruct((n, nt, 1, f), jnp.float32),
-        jax.ShapeDtypeStruct((n, nt, 1, f), jnp.float32),
+        jax.ShapeDtypeStruct((n, h, wpair, 2 * f), x.dtype),
+        jax.ShapeDtypeStruct((n, nt, 1, 2 * f), jnp.float32),
+        jax.ShapeDtypeStruct((n, nt, 1, 2 * f), jnp.float32),
     ]
     y, s1, s2 = pl.pallas_call(
         kfn,
@@ -256,23 +277,26 @@ def _conv3x3_pair_impl(x, kernel, stats: bool, ht: int, interpret: bool):
             pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, ht, w, f), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, ht, wpair, 2 * f), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, f), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, 1, 2 * f), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, f), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, 1, 2 * f), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, ht + 2, w, c), x.dtype),
+            pltpu.VMEM((2, ht + 2, wpair, 2 * c), x.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
-    )(wp, x)
+    )(wp, x_pv)
+    y = y.reshape(n, h, w, f)  # unfold the pair view (HBM bitcast again)
     if not stats:
         return y
-    return y, jnp.sum(s1[:, :, 0], axis=1), jnp.sum(s2[:, :, 0], axis=1)
+    s1 = jnp.sum(s1[:, :, 0], axis=1)  # (n, 2f) pair-view sums
+    s2 = jnp.sum(s2[:, :, 0], axis=1)
+    return y, s1[:, :f] + s1[:, f:], s2[:, :f] + s2[:, f:]
 
 
 def _xla_conv3x3_same(x, kernel):
