@@ -197,11 +197,13 @@ def main():
     env_mask = os.environ.get("UNET_DB_IMPL")
     if env_conv or env_mask:
         # explicit ladder override: fail loudly, never substitute
-        passes_per_sec = measure(env_conv or DEFAULT_CONV_IMPL,
-                                 env_mask or DEFAULT_MASK_IMPL)
+        conv, mask_p = env_conv or DEFAULT_CONV_IMPL, env_mask or DEFAULT_MASK_IMPL
+        passes_per_sec = measure(conv, mask_p)
+        pipeline = f"{conv}+{mask_p}"
     else:
         try:
             passes_per_sec = measure(DEFAULT_CONV_IMPL, DEFAULT_MASK_IMPL)
+            pipeline = f"{DEFAULT_CONV_IMPL}+{DEFAULT_MASK_IMPL}"
         except Exception as e:  # Mosaic/compile/runtime failure on this chip
             print(
                 f"bench: preferred pipelines ({DEFAULT_CONV_IMPL},"
@@ -212,6 +214,7 @@ def main():
                 flush=True,
             )
             passes_per_sec = measure(FALLBACK_CONV_IMPL, FALLBACK_MASK_IMPL)
+            pipeline = f"{FALLBACK_CONV_IMPL}+{FALLBACK_MASK_IMPL} (fallback)"
     chips = f"{n_dev}chip" if n_dev > 1 else "1chip"
     metric = f"mc_dropblock_passes_per_sec_{h}x{w}_{chips}"
     if resize:
@@ -223,6 +226,11 @@ def main():
                 "value": round(passes_per_sec, 2),
                 "unit": "passes/sec",
                 "vs_baseline": round(passes_per_sec / 1000.0, 4),
+                # provenance: which (conv, mask) pipeline produced the scored
+                # number — a silent fallback must be visible in the artifact,
+                # not just the stderr tail (VERDICT r4 weak #2). The metric
+                # name stays stable (CLAUDE.md invariant).
+                "pipeline": pipeline,
             }
         )
     )

@@ -53,6 +53,8 @@ def test_bench_survives_transient_init_failure():
     assert rec["unit"] == "passes/sec"
     assert rec["value"] > 0
     assert rec["metric"] == "mc_dropblock_passes_per_sec_48x40_1chip"
+    # provenance: the scored JSON must say which pipeline produced the number
+    assert "fallback" not in rec["pipeline"]
 
 
 def test_bench_gives_up_after_bounded_attempts():
