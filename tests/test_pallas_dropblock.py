@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 from unet_research_tpu.ops.pallas.dropblock_kernel import (
+    _pick_ht,
     dropblock_fused_apply,
     dropblock_pallas_mask,
     expand_bit_planes,
@@ -29,6 +30,25 @@ def test_supported_predicate():
     assert not pallas_dropblock_supported(4)
     assert not pallas_dropblock_supported(1)
     assert not pallas_dropblock_supported(19)
+
+
+def test_pick_ht_known_sites():
+    """Lane-padded tile sizing is pure Python — pin the shipped values so an
+    edit can't silently reintroduce the scoped-vmem OOM (ADVICE r4). The
+    canonical model's extreme sites: the padded top level (C=64 -> 128
+    lanes) and the widest unpadded skip site (C=512)."""
+    assert _pick_ht(592, 576, 64) == 8  # lane-padded: 576*128*20 B/row
+    assert _pick_ht(74, 72, 512) == 16  # unpadded: C=512 is already 128-aligned
+    assert _pick_ht(592, 576, 1) == 8  # C=1 pads to a full 128-lane register
+    # small shapes take the whole tensor in one tile
+    assert _pick_ht(48, 40, 8) == 48
+
+
+def test_pick_ht_over_budget_raises():
+    """A single 8-row strip that exceeds the 16M scoped-vmem ceiling must
+    fail loudly at trace time, not inside Mosaic compile (ADVICE r4)."""
+    with pytest.raises(ValueError, match="scoped vmem"):
+        _pick_ht(8, 4096, 64)  # 8*4096*128*20 B = 80M > 16M
 
 
 def test_expand_bit_planes_matches_dense():

@@ -74,7 +74,18 @@ def _pick_ht(h: int, w: int, c: int, budget: int = 14 * 2**20) -> int:
     c_padded = -(-c // 128) * 128
     per_row = max(1, w * c_padded * 20)
     rows = min(h, max(1, budget // per_row))
-    return max(_STRIP, (rows // _STRIP) * _STRIP)
+    ht = max(_STRIP, (rows // _STRIP) * _STRIP)
+    # The strip clamp can only round UP to one strip; if even that single
+    # strip blows XLA's 16M scoped-vmem ceiling (very wide W at padded C),
+    # fail loudly at trace time instead of deep inside Mosaic compile.
+    if ht * per_row > 16 * 2**20:
+        raise ValueError(
+            f"dropblock Pallas kernel: minimum {_STRIP}-row tile at "
+            f"(w={w}, c={c}->padded {c_padded}) needs ~{ht * per_row / 2**20:.1f}M "
+            "scoped vmem (> the 16M custom-call limit); use mask_impl="
+            "'elementwise' for this shape"
+        )
+    return ht
 
 
 def _bit_shift(x, n: int):
