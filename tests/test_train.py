@@ -234,6 +234,28 @@ def test_fit_resume_continues(tmp_path):
     assert int(state2.step) > int(state.step)
 
 
+def test_lr_find_indexed_matches_batch_path():
+    """The device-resident (indexed) lr_find probe must give the same
+    suggestion as the host-batch path: same shuffle-rng stream, same
+    uint8->f32/255 math, same step sequence."""
+    from unet_research_tpu.train.loop import lr_find
+
+    model = _tiny_model(dropblock_kind=None)
+    tcfg = TrainerConfig(lr=0.01, auto_lr_find=False, seed=13, verbose=False)
+    trainer = Trainer(model, POLICIES["none"], tcfg)
+    params = trainer.init_params(seed=0)
+    key = jax.random.PRNGKey(13)
+    lr_indexed = lr_find(trainer, params, _tiny_dataset(), None, key, 13,
+                         num_training=16)
+    # force the host-batch path: lr_find routes on trainer.mesh, which only
+    # gates the probe's data feeding (the jitted steps were built mesh-free)
+    trainer.mesh = object()
+    lr_batch = lr_find(trainer, params, _tiny_dataset(), None, key, 13,
+                       num_training=16)
+    trainer.mesh = None
+    assert lr_indexed == pytest.approx(lr_batch, rel=1e-6)
+
+
 def test_scan_epochs_matches_per_step(tmp_path):
     """The one-dispatch-per-epoch lax.scan path must reproduce the per-step
     loop: same shuffle-rng consumption, same per-step key folds, same

@@ -452,16 +452,38 @@ def lr_find(
     avg, best = 0.0, float("inf")
     i = 0
     shuffle = not trainer.policy.uses_size_plan
+    # device-resident probe: upload the uint8 dataset once and ship one int
+    # index per step instead of a full batch — the same trick fit() uses
+    # (the ~100 probe steps otherwise pay ~40 ms RPC + batch transfer each
+    # on the tunnel). uint8->f32/255 on device is the exact __getitem__ math.
+    indexed = trainer.cfg.train_batch == 1 and trainer.mesh is None
+    if indexed:
+        dev_data = jax.device_put(
+            (train_ds.images, train_ds.targets, train_ds.masks)
+        )
     while i < num_training:
-        for batch_idx, (im, gt, mask) in enumerate(
-            batch_iterator(train_ds, trainer.cfg.train_batch, shuffle, np_rng)
-        ):
+        if indexed:
+            order = np.arange(len(train_ds))
+            if shuffle:
+                np_rng.shuffle(order)
+            batches = enumerate(order)
+        else:
+            batches = enumerate(
+                batch_iterator(train_ds, trainer.cfg.train_batch, shuffle, np_rng)
+            )
+        for batch_idx, item in batches:
             if i >= num_training:
                 break
             size = int(size_plan[batch_idx]) if size_plan is not None else -1
-            state, loss = trainer._train_step(
-                state, im, gt, mask, float(lrs[i]), base_key, size
-            )
+            if indexed:
+                state, loss = trainer._train_step_indexed(
+                    state, *dev_data, int(item), float(lrs[i]), base_key, size
+                )
+            else:
+                im, gt, mask = item
+                state, loss = trainer._train_step(
+                    state, im, gt, mask, float(lrs[i]), base_key, size
+                )
             loss = float(loss)
             if not np.isfinite(loss):
                 i = num_training
