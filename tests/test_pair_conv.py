@@ -18,6 +18,13 @@ from unet_research_tpu.ops.pallas.pair_conv import (
 
 on_tpu = jax.default_backend() in ("tpu", "axon")
 tpu_only = pytest.mark.skipif(not on_tpu, reason="needs TPU (mosaic lowering)")
+# Interpret-mode model-path tests are CPU-suite coverage: on the axon
+# backend the interpret emulation itself is compiled by libtpu, which crashes
+# on the emulation HLO (fusion_emitter.cc 'Check failed: window.pad_low[i]
+# == 0' SIGABRT, measured on v5e round 5) and drifts numerically. The
+# compiled Mosaic path is covered on-chip by test_model_path_pair_conv.
+cpu_only = pytest.mark.skipif(
+    on_tpu, reason="interpret-mode emulation is CPU-suite coverage")
 
 
 def _ref_conv(x, k):
@@ -89,14 +96,21 @@ def test_pack_weights_block_structure(rng):
 
 
 def test_supported_predicate():
-    assert pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "SAME", False)
+    assert pair_conv_supported((1, 48, 48, 64), 3, 3, (1, 1), "SAME", False)
     assert not pair_conv_supported((1, 48, 41, 64), 3, 3, (1, 1), "SAME", False)
     # ragged H (44 % 8 != 0): supported via the adaptive row tile
-    assert pair_conv_supported((1, 44, 40, 64), 3, 3, (1, 1), "SAME", False)
-    assert not pair_conv_supported((1, 45, 40, 64), 3, 3, (1, 1), "SAME", False)
+    assert pair_conv_supported((1, 44, 48, 64), 3, 3, (1, 1), "SAME", False)
+    assert not pair_conv_supported((1, 45, 48, 64), 3, 3, (1, 1), "SAME", False)
     # VALID rides the SAME kernel + interior crop
-    assert pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "VALID", False)
-    assert not pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "SAME", True)
+    assert pair_conv_supported((1, 48, 48, 64), 3, 3, (1, 1), "VALID", False)
+    assert not pair_conv_supported((1, 48, 48, 64), 3, 3, (1, 1), "SAME", True)
+    # compiled Mosaic needs C % 64 == 0 and (W/2) % 8 == 0 ((8,128)-aligned
+    # halo DMA slices); the C=1 stem and narrow inputs stay on XLA
+    assert not pair_conv_supported((1, 48, 48, 1), 3, 3, (1, 1), "SAME", False)
+    assert not pair_conv_supported((1, 48, 48, 8), 3, 3, (1, 1), "SAME", False)
+    assert not pair_conv_supported((1, 48, 40, 64), 3, 3, (1, 1), "SAME", False)
+    assert pair_conv_supported((1, 48, 48, 128), 3, 3, (1, 1), "SAME", False)
+    assert pair_conv_supported((1, 592, 576, 64), 3, 3, (1, 1), "SAME", False)
 
 
 def test_pick_row_tile():
@@ -140,6 +154,7 @@ def test_grad_matches_xla_conv_interpret(rng, stats):
                                rtol=2e-4, atol=2e-4)
 
 
+@cpu_only
 def test_model_train_grads_pair_vs_xla_interpret(rng, monkeypatch):
     """Full training gradient with conv_impl='pair' (interpret) vs 'xla' on a
     tiny UNet + masked-BCE loss: the VJP composes through GN-from-sums,
@@ -180,6 +195,7 @@ def test_model_train_grads_pair_vs_xla_interpret(rng, monkeypatch):
                                    err_msg=jax.tree_util.keystr(key))
 
 
+@cpu_only
 def test_model_path_pair_conv_interpret(rng, monkeypatch):
     """conv_impl='pair' through the tiny UNet on CPU (interpret hook): the
     full model wiring — eligibility gates, moment-sum plumbing into
@@ -199,6 +215,7 @@ def test_model_path_pair_conv_interpret(rng, monkeypatch):
     np.testing.assert_allclose(yp, yx, rtol=2e-4, atol=2e-4)
 
 
+@cpu_only
 def test_model_path_pair_conv_valid_interpret(rng, monkeypatch):
     """conv_impl='pair' through the same_padding=False (VALID + center-crop
     skips) builder variant: even-dim sites ride the cropped pair kernel,
@@ -220,14 +237,17 @@ def test_model_path_pair_conv_valid_interpret(rng, monkeypatch):
 
 @tpu_only
 def test_model_path_pair_conv(rng):
-    """conv_impl='pair' through the tiny UNet on TPU: eval forward matches
-    the XLA lowering to bf16 tolerance with shared params."""
+    """conv_impl='pair' through a small UNet on TPU: eval forward matches
+    the XLA lowering to bf16 tolerance with shared params. filters=64 and
+    W=48 ((W/2) % 8 == 0) so the compiled eligibility gate actually routes
+    the 64->64 and 128->64 sites through the Mosaic kernel — a filters=8 or
+    W=40 model would fall back to XLA everywhere and test nothing."""
     from unet_research_tpu.models.unet import UNet, canonical_config
 
-    cfg = canonical_config(filters=8, model_depth=2, group_norm_groups=4,
+    cfg = canonical_config(filters=64, model_depth=2, group_norm_groups=8,
                            dtype=jnp.bfloat16, conv_impl="pair")
     cfg_x = dataclasses.replace(cfg, conv_impl="xla")
-    x = jnp.asarray(rng.random((1, 48, 40, 1), np.float32))
+    x = jnp.asarray(rng.random((1, 48, 48, 1), np.float32))
     params = UNet(cfg_x).init(jax.random.PRNGKey(0), x)
     yp = np.asarray(UNet(cfg).apply(params, x))
     yx = np.asarray(UNet(cfg_x).apply(params, x))

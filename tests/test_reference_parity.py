@@ -217,6 +217,71 @@ class TestCanonicalParity:
         assert abs(d_ref - d_ours) <= 0.005 * max(d_ref, 1e-9)
 
 
+class TestDiceSweep:
+    """BASELINE gate: Dice within 0.5% of the reference at EVERY resolution
+    of the base_model_mf sweep (reference README.md:139-150). Each side
+    rides its OWN preprocessing — reference square pad
+    (utils_general.py:32-43) + torch bilinear interpolate (the MF forks'
+    resize, MF-training-UNI.py:66-74) vs our square_pad + resize_bilinear —
+    so the gate covers the full inference pipeline, not just the converted
+    forward. scripts/dice_sweep.py runs the same sweep on the 31M canonical
+    model in a TPU window."""
+
+    def test_dice_parity_all_resolutions(self):
+        import torch.nn.functional as F
+
+        from unet_research_tpu.ops.image import resize_bilinear, square_pad
+
+        cfg = canonical_config(filters=8, model_depth=2, group_norm_groups=4)
+        ref = _build_reference(cfg, seed=5)
+        variables = torch_state_dict_to_variables(ref.state_dict(), cfg)
+        model = UNet(cfg)
+
+        # smooth synthetic content at a DRIVE-like non-square aspect plus a
+        # blob ground truth: Dice lands mid-range, so a resize-numerics
+        # drift would actually move it
+        rng = np.random.default_rng(21)
+        h0, w0 = 120, 104
+        yy, xx = np.mgrid[0:h0, 0:w0]
+        img = (np.sin(yy / 9.0) * np.cos(xx / 7.0) * 0.5 + 0.5).astype(np.float32)
+        img += rng.random((h0, w0), dtype=np.float32) * 0.1
+        gt0 = (((yy - 60) ** 2 + (xx - 52) ** 2) < 40**2).astype(np.float32)
+        x = img[None, None]  # NCHW
+        g = gt0[None, None]
+
+        for r in (32, 64, 128, 256, None):  # None = native (square-padded)
+            # reference pipeline: utils_general.py:32-43 pad split (height
+            # extra pixel to the bottom, width extra pixel to the LEFT)
+            th, tw = max(h0, w0) - h0, max(h0, w0) - w0
+            pad = ((0, 0), (0, 0), (th // 2, th - th // 2),
+                   (tw - tw // 2, tw // 2))
+            xt = torch.from_numpy(np.pad(x, pad))
+            gtt = torch.from_numpy(np.pad(g, pad))
+            if r is not None:
+                xt = F.interpolate(xt, size=(r, r), mode="bilinear",
+                                   align_corners=False)
+                gtt = F.interpolate(gtt, size=(r, r), mode="bilinear",
+                                    align_corners=False)
+            with torch.no_grad():
+                seg_ref = ref(xt).numpy()
+            gt_bin = (gtt.numpy() >= 0.5).astype(np.float64)
+            d_ref = _dice(seg_ref, gt_bin)
+
+            # ours: exactly cli/base_model_mf.py's predict_step
+            im = square_pad(jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+            gj = square_pad(jnp.asarray(np.transpose(g, (0, 2, 3, 1))))
+            if r is not None:
+                im = resize_bilinear(im, (r, r))
+                gj = resize_bilinear(gj, (r, r))
+            seg = np.asarray(model.apply(variables, im))
+            d_ours = _dice(seg, (np.asarray(gj) >= 0.5).astype(np.float64))
+
+            tag = r if r is not None else "native"
+            assert abs(d_ref - d_ours) <= 0.005 * max(d_ref, 1e-9), (
+                f"Dice diverges at resolution {tag}: ref={d_ref:.6f} "
+                f"ours={d_ours:.6f}")
+
+
 class TestVariantParity:
     """Non-canonical builder paths: pooling/upsampling/connection/bias."""
 

@@ -462,8 +462,7 @@ class _Layers(nn.Module):
             cfg.conv_impl == "pair"
             and cfg.norm is not None  # bias-free under norm
             and 2 * features <= 128
-            # C=1 stem rides too (the kernel zero-pads C to a sublane
-            # multiple); H only needs an even divisor — the row tile adapts
+            # H only needs an even divisor — the row tile adapts
             and x.shape[-2] % 2 == 0
             and x.shape[-3] % 2 == 0
         ):
@@ -473,7 +472,17 @@ class _Layers(nn.Module):
                 on_tpu = _pc.INTERPRET or jax.default_backend() in ("tpu", "axon")
             except Exception:
                 on_tpu = False
-            if on_tpu:
+            # Compiled Mosaic needs input C % 64 == 0 and (W/2) % 8 == 0
+            # ((8,128)-tiling-aligned halo DMA slices, pair_conv.py); the
+            # C=1 stem and narrow shapes stay on XLA. Interpret mode (CPU
+            # suite) keeps tiny channels/widths eligible via the zero-pad
+            # path so the wiring is covered without hardware.
+            if _pc.INTERPRET:
+                shape_ok = True
+            else:
+                shape_ok = (x.shape[-1] % 64 == 0
+                            and (x.shape[-2] // 2) % 8 == 0)
+            if on_tpu and shape_ok:
                 if cfg.same_padding:
                     # the moment side outputs only pay off when GroupNorm
                     # consumes them downstream

@@ -75,6 +75,19 @@ def pair_conv_supported(x_shape, kh: int, kw: int, strides, padding,
         and not use_bias
         and w % 2 == 0
         and h % 2 == 0  # row tile adapts down from `ht` to any even divisor
+        # pair-view lane width 2C must be a whole number of 128-lane words:
+        # Mosaic's HBM memref_slice (the halo DMA) requires slices 128-aligned
+        # along lanes ('Slice shape along dimension 3 must be aligned to
+        # tiling (128)', measured on v5e). The C=1 stem therefore stays on
+        # XLA — padding it to 64 channels would run the pair GEMM at ~1%
+        # useful MXU occupancy, worse than any XLA stem lowering.
+        and c % 64 == 0
+        # and the pair-view sublane width W/2 a whole number of 8-sublane
+        # words, same memref_slice tiling rule one axis up ('slice 1x8x20x128
+        # of 1x48x24x128' rejected, measured on v5e). All canonical model
+        # resolutions are % 16 wide (576, 256); tiny odd test shapes fall
+        # back to XLA.
+        and (w // 2) % 8 == 0
     )
 
 
@@ -126,8 +139,14 @@ def _half_shifted_views(A, C: int):
         v[j] = (hi_j, lo_{j+1})   = where(lane < C, r[j], r[j+1])
 
     The zero fill of the word shifts IS the SAME-padding halo at the canvas
-    edges (x[-1] = x[W] = 0)."""
-    r = pltpu.roll(A, C, axis=2)
+    edges (x[-1] = x[W] = 0).
+
+    The lane roll is spelled as a static slice+concat, NOT pltpu.roll:
+    this chip's Mosaic lowers roll to tpu.dynamic_rotate even for a static
+    amount, and dynamic_rotate is unimplemented for non-32-bit data
+    ('Rotate with non-32-bit data', the bf16 hot path — measured on v5e,
+    round 5); the sliced concat compiles and matches exactly."""
+    r = jnp.concatenate([A[..., C:], A[..., :C]], axis=-1)
     z = jnp.zeros_like(r[:, :1])
     rdn = jnp.concatenate([z, r[:, :-1]], axis=1)  # r[j-1]
     rup = jnp.concatenate([r[:, 1:], z], axis=1)   # r[j+1]
@@ -242,15 +261,28 @@ def _conv3x3_pair_impl(x, kernel, stats: bool, ht: int, interpret: bool):
         raise ValueError(f"conv3x3_pair: kernel {kernel.shape} vs input C={c}")
     if w % 2:
         raise ValueError("conv3x3_pair needs even W")
-    # C=1 stem (and any C % 8 != 0): zero-pad the contraction channels to a
-    # sublane-aligned width. The padded columns multiply zero weights, so the
-    # output is exactly the original conv; the extra read traffic at the stem
-    # is ~8x of a 1-channel image — noise against the 64-channel write.
-    cpad = -c % 8
-    if cpad:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cpad)))
-        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cpad), (0, 0)))
-        c += cpad
+    if interpret:
+        # Interpret mode (CPU suite) keeps the zero-pad path so tiny test
+        # channels exercise the padded-contraction algebra: pad C to a
+        # sublane multiple; padded columns multiply zero weights.
+        cpad = -c % 8
+        if cpad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+            kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cpad), (0, 0)))
+            c += cpad
+    elif c % 64 or (w // 2) % 8:
+        # Compiled (Mosaic) constraint: the pair view (N, H, W/2, 2C) is
+        # sliced by the halo DMA, and Mosaic requires memref slices aligned
+        # to the (8, 128) tiling on the last two dims — 2C % 128 == 0
+        # ('Slice shape along dimension 3 must be aligned to tiling (128)',
+        # v5e, BENCH_r04 root cause) and W/2 % 8 == 0 ('slice 1x8x20x128 of
+        # 1x48x24x128' rejected, v5e round 5). Fail loudly at trace time
+        # instead of an opaque tpu_compile_helper HTTP 500 at compile time.
+        raise ValueError(
+            f"conv3x3_pair compiled path needs C % 64 == 0 and "
+            f"(W/2) % 8 == 0 (got C={c}, W={w}): the pair-view halo DMA "
+            "requires (8,128)-tiling-aligned HBM slices. Use the XLA conv "
+            "for this site (pair_conv_supported gates it).")
     ht = _pick_row_tile(h, ht)
     nt = h // ht
     wp = _pack_weights(kernel, x.dtype)
@@ -332,11 +364,16 @@ def _dx_conv(g, kernel, ht: int, interpret: bool):
     shape is eligible (it is, for every site the forward was)."""
     kt = _rot_transpose(kernel).astype(g.dtype)
     n, h, w, f = g.shape
-    # kt.shape[-1] % 8: a narrow dx (e.g. the C=1 stem's input gradient,
-    # normally dead code) would fill only 2 of 128 output lanes — leave it
-    # to XLA rather than the pair view.
-    if w % 2 == 0 and h % 2 == 0 and 2 * kt.shape[-1] <= 128 \
-            and kt.shape[-1] % 8 == 0:
+    # Output-lane gate (kt.shape[-1], the dx channel count): a narrow dx
+    # (e.g. the C=1 stem's input gradient, normally dead code) would fill
+    # only 2 of 128 output lanes — leave it to XLA. Input-lane gate (f, the
+    # cotangent channels) and sublane gate (W/2): compiled Mosaic needs
+    # 2f % 128 == 0 and (W/2) % 8 == 0 for the halo DMA, same constraints
+    # as the forward.
+    cmin = 8 if interpret else 64
+    w_ok = w % 2 == 0 if interpret else (w // 2) % 8 == 0
+    if w_ok and h % 2 == 0 and 2 * kt.shape[-1] <= 128 \
+            and kt.shape[-1] % 8 == 0 and f % cmin == 0:
         return _conv3x3_pair_impl(g, kt, stats=False, ht=ht,
                                   interpret=interpret)
     return _xla_conv3x3_same(g, kt)
