@@ -42,15 +42,20 @@ TINY = {
 
 # tag, conv_impl, mask_impl, resize (0=native), chunk
 RUNGS = [
-    ("native/default",      "xla",  "elementwise", 0,   16),
-    ("native/pair",         "pair", "elementwise", 0,   16),
-    ("native/fused",        "xla",  "fused",       0,   16),
-    ("native/pair+fused",   "pair", "fused",       0,   16),
-    ("native/pair+fused,c32", "pair", "fused",     0,   32),
-    ("r256/default",        "xla",  "elementwise", 256, 16),
-    ("r256/pair",           "pair", "elementwise", 256, 16),
-    ("r256/pair+fused",     "pair", "fused",       256, 16),
-    ("r256/pair+fused,c64", "pair", "fused",       256, 64),
+    ("native/default",        "xla",  "elementwise", 0,   16),
+    ("native/default,c32",    "xla",  "elementwise", 0,   32),
+    ("native/default,c64",    "xla",  "elementwise", 0,   64),
+    ("native/fused",          "xla",  "fused",       0,   16),
+    ("native/pair",           "pair", "elementwise", 0,   16),
+    ("native/pair+fused",     "pair", "fused",       0,   16),
+    ("native/pair+fused,c32", "pair", "fused",       0,   32),
+    ("r256/default",          "xla",  "elementwise", 256, 16),
+    ("r256/default,c64",      "xla",  "elementwise", 256, 64),
+    ("r256/default,c128",     "xla",  "elementwise", 256, 128),
+    ("r256/fused,c64",        "xla",  "fused",       256, 64),
+    ("r256/pair",             "pair", "elementwise", 256, 16),
+    ("r256/pair+fused",       "pair", "fused",       256, 16),
+    ("r256/pair+fused,c64",   "pair", "fused",       256, 64),
 ]
 
 
