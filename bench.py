@@ -32,16 +32,23 @@ if importlib.util.find_spec("jax") is None and os.path.exists(_VENV_PY) \
 
 # The shipping configuration: the preferred (conv, mask) pipeline pair and
 # the fallback it degrades to if the preferred one fails to compile/run on
-# the current hardware (Mosaic limits change across chips/toolchains; the
-# scored artifact must be a number, not an rc=1). Explicit constants (not
-# env-only) so the driver's plain `python bench.py` always measures the
-# real state of the framework; UNET_CONV_IMPL / UNET_DB_IMPL still override
-# for ladder runs (overrides run WITHOUT fallback — a ladder rung must fail
-# loudly). Last TPU-validated ladder: PERF.md.
-DEFAULT_CONV_IMPL = "pair"
-DEFAULT_MASK_IMPL = "fused"
+# the current hardware (the scored artifact must be a number, not an rc=1).
+# Round-5 measured ladder (PERF.md, 14 rungs on the v5e): xla+elementwise
+# WINS at native (106.2 vs pair+fused 85.2 passes/s) and at resize-256
+# (649.7 @ chunk 128 vs pair+fused 439.5) — the Pallas conv pipeline is
+# retired from the default with that measured verdict; the kernels stay
+# available via UNET_CONV_IMPL/UNET_DB_IMPL (overrides run WITHOUT
+# fallback — a ladder rung must fail loudly). With default == fallback the
+# fallback path is a retry-once guard against transient tunnel failures
+# (BENCH_r03 was lost to one).
+DEFAULT_CONV_IMPL = "xla"
+DEFAULT_MASK_IMPL = "elementwise"
 FALLBACK_CONV_IMPL = "xla"
 FALLBACK_MASK_IMPL = "elementwise"
+# measured chunk winners per workload (same ladder): native flat in chunk
+# (16/32 identical), resize-256 non-monotonic with 128 on top.
+NATIVE_CHUNK = 16
+R256_CHUNK = 128
 
 
 def _devices_with_retry(get_devices, attempts: int, sleep_s: float):
@@ -103,11 +110,13 @@ def main():
     from unet_research_tpu.uncertainty import MCDropBlockEngine
 
     num_iterations = int(os.environ.get("BENCH_ITERS", 1000))
-    chunk = int(os.environ.get("BENCH_CHUNK", 16))
     # secondary benchmark: the reference's `-resize N` MC configuration
     # (Dropblock_Uncertainty.py:52-61) — square-pad + bilinear resize before
     # the ensemble. 0 = native (the driver's headline metric).
     resize = int(os.environ.get("BENCH_RESIZE", 0))
+    chunk = int(os.environ.get("BENCH_CHUNK", 0)) or (
+        R256_CHUNK if resize else NATIVE_CHUNK
+    )
     # test-only shrink knobs (the retry-path subprocess test runs a tiny
     # model on CPU); defaults are the canonical workload and the metric name
     # reflects the measured size, so the headline name stays stable.
@@ -143,10 +152,12 @@ def main():
         return float(jnp.sum(mean) + jnp.sum(std))
 
     def measure(conv_impl: str, mask_impl: str) -> float:
-        # test hook: simulate the preferred pipelines failing on-device
-        if os.environ.get("BENCH_SIM_MEASURE_FAIL") and (
-            (conv_impl, mask_impl) == (DEFAULT_CONV_IMPL, DEFAULT_MASK_IMPL)
-        ):
+        # test hook: simulate the first N measure() calls failing on-device
+        # (count-based, not pipeline-matched, so the retry-once fallback is
+        # testable even when default == fallback)
+        sim_fail = int(os.environ.get("BENCH_SIM_MEASURE_FAIL", 0))
+        if sim_fail > 0:
+            os.environ["BENCH_SIM_MEASURE_FAIL"] = str(sim_fail - 1)
             raise RuntimeError("simulated preferred-pipeline failure")
         cfg = canonical_config(dtype=jnp.bfloat16, **tiny)
         cfg = UNetConfig(

@@ -56,6 +56,19 @@ RUNGS = [
     ("r256/pair",             "pair", "elementwise", 256, 16),
     ("r256/pair+fused",       "pair", "fused",       256, 16),
     ("r256/pair+fused,c64",   "pair", "fused",       256, 64),
+    # chunk-frontier probe (run via `python scripts/ladder.py chunk256`):
+    # the main ladder measured xla/elementwise at r256 non-monotonic in
+    # chunk (c16 563.8 < c64 528.7 < c128 649.7 passes/s) — walk the
+    # frontier upward until HBM or the curve turns over.
+    ("chunk256/c192",         "xla",  "elementwise", 256, 192),
+    ("chunk256/c256",         "xla",  "elementwise", 256, 256),
+    ("chunk256/c384",         "xla",  "elementwise", 256, 384),
+    ("chunk256/c512",         "xla",  "elementwise", 256, 512),
+    # 1000-iter finals (run with BENCH_ITERS=1000): c128 pays a 104-member
+    # remainder program at 1000 iters; 200/250 divide exactly.
+    ("iters1k/c128",          "xla",  "elementwise", 256, 128),
+    ("iters1k/c200",          "xla",  "elementwise", 256, 200),
+    ("iters1k/c250",          "xla",  "elementwise", 256, 250),
 ]
 
 
