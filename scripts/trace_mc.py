@@ -33,6 +33,7 @@ def main():
     h, w = (int(v) for v in os.environ.get("BENCH_HW", "584x565").split("x"))
     members = int(os.environ.get("TRACE_MEMBERS", 32))
     chunk = int(os.environ.get("BENCH_CHUNK", 16))
+    resize = int(os.environ.get("BENCH_RESIZE", 0))
 
     cfg = canonical_config(dtype=jnp.bfloat16)
     cfg = UNetConfig(**{
@@ -48,7 +49,7 @@ def main():
     gt, mask = jnp.zeros_like(im), jnp.ones_like(im)
     params = model.init(jax.random.PRNGKey(0), im)["params"]
     engine = MCDropBlockEngine(model, num_iterations=members, return_num=0,
-                               chunk=chunk)
+                               chunk=chunk, resize=resize if resize else -1)
 
     def sync(mean, std):
         return float(jnp.sum(mean) + jnp.sum(std))
